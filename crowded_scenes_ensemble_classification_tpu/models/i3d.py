@@ -1,0 +1,145 @@
+"""Inflated Inception-v1 (I3D, Carreira & Zisserman 2017) in Flax.
+
+Behavioural spec from the reference `Inception_architecture`
+(train.py:1013-1219) and `Inception_Inflated3d` (train.py:673-843):
+
+- stem: 7³/2 conv → (1,3,3)/(1,2,2) maxpool → 1³ conv → 3³ conv → maxpool
+- 9 inception blocks Mixed_3b..Mixed_5c, each 4 branches concatenated on C
+- every conv is Conv3D(no bias) + BatchNorm(scale=False) + ReLU
+  (reference conv3d_bn train.py:615-670)
+- feature head (the path used for Crowd-11, include_top=False at
+  train.py:1575-1581): AvgPool3D((2,h,w), stride 1, valid)
+- classifier head (include_top=True, train.py:1196-1213): avgpool (2,7,7) →
+  dropout → 1×1×1 conv(classes, bias) → mean over time → logits
+- the Crowd-11 model appends Flatten + Dense(classes, softmax)
+  (train.py:824-841); here the Dense returns logits.
+
+Canonical Crowd-11 input: 20×224×224×3 (train.py:1573-1581); the original
+Kinetics geometry 64×224×224 also works (all shapes are static under jit).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .common import ConvBN, avg_pool_3d, flatten, max_pool_3d
+
+# (b0_1x1, b1_1x1, b1_3x3, b2_1x1, b2_3x3, b3_pool_proj) per inception block.
+INCEPTION_SPECS = {
+    "Mixed_3b": (64, 96, 128, 16, 32, 32),
+    "Mixed_3c": (128, 128, 192, 32, 96, 64),
+    "Mixed_4b": (192, 96, 208, 16, 48, 64),
+    "Mixed_4c": (160, 112, 224, 24, 64, 64),
+    "Mixed_4d": (128, 128, 256, 24, 64, 64),
+    "Mixed_4e": (112, 144, 288, 32, 64, 64),
+    "Mixed_4f": (256, 160, 320, 32, 128, 128),
+    "Mixed_5b": (256, 160, 320, 32, 128, 128),
+    "Mixed_5c": (384, 192, 384, 48, 128, 128),
+}
+
+
+class InceptionBlock(nn.Module):
+    """One Mixed_* block: 4 parallel branches concatenated on channels."""
+
+    spec: Tuple[int, int, int, int, int, int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        b0_c, b1_r, b1_c, b2_r, b2_c, b3_c = self.spec
+        cbn = lambda feats, kernel, name: ConvBN(
+            feats, kernel, dtype=self.dtype, name=name
+        )
+        branch_0 = cbn(b0_c, (1, 1, 1), "b0_1x1")(x, train)
+        branch_1 = cbn(b1_r, (1, 1, 1), "b1_1x1")(x, train)
+        branch_1 = cbn(b1_c, (3, 3, 3), "b1_3x3")(branch_1, train)
+        branch_2 = cbn(b2_r, (1, 1, 1), "b2_1x1")(x, train)
+        branch_2 = cbn(b2_c, (3, 3, 3), "b2_3x3")(branch_2, train)
+        branch_3 = max_pool_3d(x, (3, 3, 3), (1, 1, 1), "SAME")
+        branch_3 = cbn(b3_c, (1, 1, 1), "b3_1x1")(branch_3, train)
+        return jnp.concatenate([branch_0, branch_1, branch_2, branch_3], axis=-1)
+
+
+class I3DTrunk(nn.Module):
+    """Stem + Mixed_3b..Mixed_5c.  Output: (N, T', H', W', 1024) features
+    (pre-head)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = x.astype(self.dtype)
+        x = ConvBN(64, (7, 7, 7), strides=(2, 2, 2), dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
+        x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), "SAME")
+        x = ConvBN(64, (1, 1, 1), dtype=self.dtype, name="Conv3d_2b_1x1")(x, train)
+        x = ConvBN(192, (3, 3, 3), dtype=self.dtype, name="Conv3d_2c_3x3")(x, train)
+        x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), "SAME")
+
+        for name in ("Mixed_3b", "Mixed_3c"):
+            x = InceptionBlock(INCEPTION_SPECS[name], dtype=self.dtype, name=name)(x, train)
+        x = max_pool_3d(x, (3, 3, 3), (2, 2, 2), "SAME")
+        for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"):
+            x = InceptionBlock(INCEPTION_SPECS[name], dtype=self.dtype, name=name)(x, train)
+        x = max_pool_3d(x, (2, 2, 2), (2, 2, 2), "SAME")
+        for name in ("Mixed_5b", "Mixed_5c"):
+            x = InceptionBlock(INCEPTION_SPECS[name], dtype=self.dtype, name=name)(x, train)
+        return x
+
+
+def i3d_feature_head(x: jax.Array) -> jax.Array:
+    """include_top=False head: AvgPool3D((2, h, w), stride 1, valid)
+    (reference train.py:1214-1217)."""
+    h, w = int(x.shape[2]), int(x.shape[3])
+    return avg_pool_3d(x, (2, h, w), (1, 1, 1), "VALID")
+
+
+class I3D(nn.Module):
+    """Single-stream I3D classifier as used on Crowd-11: trunk →
+    feature head → Flatten → Dense(num_classes) (reference
+    train.py:824-841, include_top=False)."""
+
+    num_classes: int = 11
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = I3DTrunk(dtype=self.dtype, name="trunk")(x, train)
+        x = i3d_feature_head(x)
+        x = flatten(x)
+        logits = nn.Dense(
+            self.num_classes, dtype=self.dtype, param_dtype=jnp.float32, name="predictions"
+        )(x)
+        return logits.astype(jnp.float32)
+
+
+class I3DKinetics(nn.Module):
+    """include_top=True Kinetics head (reference train.py:1196-1213):
+    avgpool (2,7,7) → dropout → 1×1×1 conv (with bias, no BN/ReLU) →
+    temporal-mean logits.  Used for converting/validating Kinetics
+    checkpoints."""
+
+    num_classes: int = 400
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = I3DTrunk(dtype=self.dtype, name="trunk")(x, train)
+        x = avg_pool_3d(x, (2, 7, 7), (1, 1, 1), "VALID")
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = ConvBN(
+            self.num_classes,
+            (1, 1, 1),
+            use_bias=True,
+            use_bn=False,
+            use_relu=False,
+            dtype=self.dtype,
+            name="Conv3d_6a_1x1",
+        )(x, train)
+        # (N, T', 1, 1, classes) → mean over remaining frames → logits
+        x = x.reshape((x.shape[0], x.shape[1], x.shape[-1]))
+        return jnp.mean(x, axis=1).astype(jnp.float32)

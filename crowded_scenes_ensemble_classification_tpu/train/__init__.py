@@ -1,0 +1,23 @@
+from .callbacks import (  # noqa: F401
+    EarlyStopping,
+    LRPolicy,
+    ReduceLROnPlateau,
+    StepDecayEvery4,
+    lr_policy_for,
+)
+from .checkpoints import (  # noqa: F401
+    best_exists,
+    full_exists,
+    restore_best,
+    restore_full,
+    save_best,
+    save_full,
+)
+from .engine import (  # noqa: F401
+    evaluate_model,
+    fit,
+    make_eval_step,
+    make_train_step,
+    store_history,
+)
+from .state import TrainState, get_learning_rate, make_optimizer, set_learning_rate  # noqa: F401

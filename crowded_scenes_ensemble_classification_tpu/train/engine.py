@@ -1,0 +1,290 @@
+"""The training/evaluation engine: jitted sharded steps + epoch loop.
+
+Maps the reference `train()` (train.py:1786-1923) and `evaluate()`
+(train.py:1925-1971) onto TPU-native machinery:
+
+- ONE jit region per step: device-side augmentation (ops.augment) → forward
+  → masked weighted cross-entropy (+ R3D's Keras-style L2 kernel penalty,
+  train.py:1292) → optax update.  Host only decodes and stages uint8.
+- batch sharded over the mesh's `data` axis, params replicated (reference
+  had no data parallelism at all, SURVEY.md §2.2).
+- balanced class weights = sklearn 'balanced' recipe (train.py:1900-1912).
+- epoch-level control (LR schedules / plateau / early stop / best-val
+  checkpointing, train.py:1850-1871) runs on host in callbacks.py.
+- NaN guard wired in (the reference imported TerminateOnNaN but never used
+  it, train.py:16 — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import ExperimentConfig
+from ..models.common import l2_param_penalty
+from ..models.registry import ModelBundle
+from ..ops.augment import crowd11_augment_batch, identity_resize_batch
+from .callbacks import EarlyStopping, LRPolicy, lr_policy_for
+from .state import TrainState, get_learning_rate, make_optimizer, set_learning_rate
+
+R3D_L2_WEIGHT = 1e-4  # Keras l2(1e-4) on every R3D kernel (train.py:1292)
+
+
+def _preprocess(batch, rng, out_hw, augment: bool, p: float, two_stream: bool):
+    """uint8 staging batch → float32 model inputs, on device."""
+    rgb = batch["rgb"].astype(jnp.float32)
+    if augment:
+        rgb = crowd11_augment_batch(rgb, rng, out_hw, p=p)
+    else:
+        rgb = identity_resize_batch(rgb, out_hw)
+    out = {"rgb": rgb}
+    if two_stream:
+        # Flow is never augmented in the reference TVL1 path
+        # (train.py:195-221): plain resize only.
+        out["flow"] = identity_resize_batch(batch["flow"].astype(jnp.float32), out_hw)
+    return out
+
+
+def make_train_step(
+    bundle: ModelBundle,
+    tx: optax.GradientTransformation,
+    out_hw: Tuple[int, int],
+    augment: bool,
+    augment_p: float = 0.75,
+    l2_weight: float = 0.0,
+    mesh: Optional[Mesh] = None,
+    data_axis: str = "data",
+):
+    two_stream = bundle.two_stream
+
+    def train_step(state: TrainState, batch, class_weights):
+        rng = jax.random.fold_in(state.rng, state.step)
+        rng_aug, rng_drop = jax.random.split(rng)
+        inputs = _preprocess(batch, rng_aug, out_hw, augment, augment_p, two_stream)
+        labels = batch["label"].astype(jnp.int32)
+        mask = batch["valid"].astype(jnp.float32)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            mutable = ["batch_stats"] if state.batch_stats else []
+            logits, new_model_state = bundle.apply(
+                variables,
+                inputs,
+                train=True,
+                rngs={"dropout": rng_drop},
+                mutable=mutable,
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+            w = mask * class_weights[labels]
+            loss = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+            if l2_weight > 0.0:
+                loss = loss + l2_param_penalty(params, l2_weight)
+            acc = jnp.sum((jnp.argmax(logits, -1) == labels) * mask) / jnp.maximum(
+                jnp.sum(mask), 1.0
+            )
+            new_bs = new_model_state.get("batch_stats", state.batch_stats)
+            return loss, (acc, new_bs)
+
+        (loss, (acc, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+        )
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(data_axis))
+        batch_shardings = {k: data for k in ("rgb", "label", "valid", "index")}
+        if two_stream:
+            batch_shardings["flow"] = data
+        return jax.jit(
+            train_step,
+            in_shardings=(repl, batch_shardings, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(
+    bundle: ModelBundle,
+    out_hw: Tuple[int, int],
+    mesh: Optional[Mesh] = None,
+    data_axis: str = "data",
+):
+    two_stream = bundle.two_stream
+
+    def eval_step(variables, batch):
+        inputs = _preprocess(batch, None, out_hw, False, 0.0, two_stream)
+        labels = batch["label"].astype(jnp.int32)
+        mask = batch["valid"].astype(jnp.float32)
+        logits = bundle.apply(variables, inputs, train=False)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        loss_sum = jnp.sum(ce * mask)
+        correct = jnp.sum((jnp.argmax(logits, -1) == labels) * mask)
+        probs = jax.nn.softmax(logits, -1)
+        return {
+            "loss_sum": loss_sum,
+            "correct": correct,
+            "count": jnp.sum(mask),
+            "probs": probs,
+        }
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(data_axis))
+        batch_shardings = {k: data for k in ("rgb", "label", "valid", "index")}
+        if two_stream:
+            batch_shardings["flow"] = data
+        return jax.jit(eval_step, in_shardings=(repl, batch_shardings))
+    return jax.jit(eval_step)
+
+
+def evaluate_model(
+    bundle: ModelBundle,
+    variables: Dict,
+    pipeline,
+    out_hw: Tuple[int, int],
+    mesh: Optional[Mesh] = None,
+    collect_probs: bool = False,
+) -> Dict[str, Any]:
+    """Masked-accurate eval over a BatchPipeline (reference evaluate(),
+    train.py:1925-1971 — but batched instead of batch_size=1)."""
+    step = make_eval_step(bundle, out_hw, mesh)
+    loss_sum = 0.0
+    correct = 0.0
+    count = 0.0
+    probs_all = [] if collect_probs else None
+    for batch in pipeline.batches(epoch=0):
+        out = step(variables, batch)
+        loss_sum += float(out["loss_sum"])
+        correct += float(out["correct"])
+        count += float(out["count"])
+        if collect_probs:
+            valid = np.asarray(batch["valid"])
+            probs_all.append(np.asarray(out["probs"])[valid])
+    res = {
+        "loss": loss_sum / max(count, 1.0),
+        "accuracy": correct / max(count, 1.0),
+        "count": int(count),
+    }
+    if collect_probs:
+        res["probs"] = np.concatenate(probs_all, axis=0)
+    return res
+
+
+def fit(
+    bundle: ModelBundle,
+    train_pipeline,
+    val_pipeline,
+    *,
+    epochs: int,
+    seed: int = 0,
+    augment: bool = False,
+    augment_p: float = 0.75,
+    balanced_classes: bool = False,
+    mesh: Optional[Mesh] = None,
+    checkpoint_dir: Optional[str] = None,
+    lr_policy: Optional[LRPolicy] = None,
+    early_stopping_patience: int = 100,
+    initial_variables: Optional[Dict] = None,
+    verbose: bool = False,
+) -> Dict[str, Any]:
+    """Epoch loop with the reference's callback semantics.  Returns
+    {'history': {...}, 'state': final TrainState, 'best_val_loss': float}.
+    """
+    from .checkpoints import best_exists, restore_best, save_best  # lazy
+
+    out_hw = (bundle.clip.height, bundle.clip.width)
+    policy = lr_policy or lr_policy_for(bundle.model_type)
+    tx = make_optimizer(bundle.model_type, policy.initial_lr)
+    l2w = R3D_L2_WEIGHT if bundle.model_type.startswith("R3D") else 0.0
+
+    rng = jax.random.key(seed)
+    init_rng, state_rng = jax.random.split(rng)
+    variables = initial_variables or bundle.init(init_rng, batch_size=1)
+    state = TrainState.create(variables, tx, state_rng)
+
+    # Warm resume from an existing best checkpoint (train.py:1887-1890).
+    if checkpoint_dir and best_exists(checkpoint_dir):
+        best_vars = restore_best(checkpoint_dir, state.variables())
+        state = state.replace(
+            params=best_vars["params"],
+            batch_stats=best_vars.get("batch_stats", state.batch_stats),
+        )
+
+    if balanced_classes:
+        from ..data.pipeline import class_weights_balanced
+
+        labels = train_pipeline.df["class"].astype(int).values
+        cw = jnp.asarray(class_weights_balanced(labels, bundle.num_classes))
+    else:
+        cw = jnp.ones((bundle.num_classes,), jnp.float32)
+
+    train_step = make_train_step(
+        bundle, tx, out_hw, augment, augment_p, l2w, mesh
+    )
+    early = EarlyStopping(patience=early_stopping_patience)
+    history = {"loss": [], "accuracy": [], "val_loss": [], "val_accuracy": []}
+    best_val = math.inf
+    lr = policy.initial_lr
+
+    for epoch in range(epochs):
+        lr = policy.epoch_begin_lr(epoch, lr)
+        state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
+
+        losses, accs = [], []
+        for batch in train_pipeline.batches(epoch=epoch):
+            state, metrics = train_step(state, batch, cw)
+            losses.append(metrics["loss"])
+            accs.append(metrics["accuracy"])
+        epoch_loss = float(jnp.mean(jnp.stack(losses)))
+        epoch_acc = float(jnp.mean(jnp.stack(accs)))
+
+        if not math.isfinite(epoch_loss):  # TerminateOnNaN, actually wired
+            history["loss"].append(epoch_loss)
+            break
+
+        val = evaluate_model(bundle, state.variables(), val_pipeline, out_hw, mesh)
+        history["loss"].append(epoch_loss)
+        history["accuracy"].append(epoch_acc)
+        history["val_loss"].append(val["loss"])
+        history["val_accuracy"].append(val["accuracy"])
+        if verbose:
+            print(
+                f"epoch {epoch}: loss {epoch_loss:.4f} acc {epoch_acc:.3f} "
+                f"val_loss {val['loss']:.4f} val_acc {val['accuracy']:.3f} lr {lr:.2e}"
+            )
+
+        if val["loss"] < best_val:  # best-only checkpoint (train.py:1850-1853)
+            best_val = val["loss"]
+            if checkpoint_dir:
+                save_best(checkpoint_dir, state.variables())
+
+        lr = policy.epoch_end_lr(val["loss"], lr)
+        if early.update(val["loss"]):
+            break
+
+    return {"history": history, "state": state, "best_val_loss": best_val}
+
+
+def store_history(history: Dict, path: str) -> None:
+    """Persist val-loss history for VALIDATION_ERROR_INVERSE fusion
+    (reference store_history train.py:63-82 wrote `*_validation_losses.npy`)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.save(path, np.asarray(history["val_loss"], np.float32))

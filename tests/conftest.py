@@ -1,0 +1,20 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so
+mesh/pjit paths are exercised without TPU hardware (SURVEY.md §4e)."""
+
+import os
+
+# Must happen before jax is imported anywhere.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,144 @@
+"""Data layer tests: fold generation properties (SURVEY.md §4d), split
+matrix, pipeline determinism."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from crowded_scenes_ensemble_classification_tpu.data import (
+    BatchPipeline,
+    SampleSpec,
+    assign_scenes_to_folds,
+    build_split,
+    class_weights_balanced,
+    expand_precomputed_augmentation,
+    fold_class_histograms,
+    generate_folds,
+    generate_synthetic_dataset,
+    load_fold_csvs,
+    make_fold_dataframes,
+    scene_labels_from_dataframe,
+    verify_folds_disjoint,
+    write_split_matrix,
+)
+from crowded_scenes_ensemble_classification_tpu.core.config import split_pairs
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    df = generate_synthetic_dataset(
+        str(root), num_scenes=10, clips_per_scene=3, num_classes=4,
+        num_frames=10, hw=(48, 48), as_videos=False,
+    )
+    return root, df
+
+
+def test_fold_assignment_properties():
+    rng = np.random.default_rng(0)
+    scene_labels = {
+        s: list(rng.integers(0, 5, size=rng.integers(2, 12))) for s in range(40)
+    }
+    folds = assign_scenes_to_folds(scene_labels, nb_folds=5, num_classes=5)
+    assert verify_folds_disjoint(folds)
+    assert sum(len(f) for f in folds) == 40
+    # greedy balance: clip counts per fold within a reasonable band
+    clip_counts = [sum(len(scene_labels[s]) for s in f) for f in folds]
+    assert max(clip_counts) - min(clip_counts) < max(clip_counts)
+
+
+def test_fold_assignment_biggest_scene_first():
+    scene_labels = {"big": [0] * 10, "small": [1], "mid": [0, 1, 0]}
+    folds = assign_scenes_to_folds(scene_labels, nb_folds=2, num_classes=2)
+    # 'big' placed first into fold 0 (lowest score at start)
+    assert "big" in folds[0]
+
+
+def test_generate_folds_csv_format(synth_root, tmp_path):
+    _, df = synth_root
+    folder, folds_scenes = generate_folds(df, str(tmp_path), nb_folds=3)
+    assert folder.endswith("3_folds")
+    fold_dfs = load_fold_csvs(folder, 3)
+    for f in fold_dfs:
+        assert list(f.columns) == [
+            "rgbclips_path",
+            "x_axis_flowclips_path",
+            "y_axis_flowclips_path",
+            "class",
+        ]
+    total = sum(len(f) for f in fold_dfs)
+    assert total == len(df)
+    hist = fold_class_histograms(df, folds_scenes, 4)
+    assert hist.sum() == len(df)
+    # greedy stratification: every fold gets clips
+    assert (hist.sum(axis=1) > 0).all()
+
+
+def test_split_matrix(synth_root, tmp_path):
+    _, df = synth_root
+    folds_scenes = assign_scenes_to_folds(scene_labels_from_dataframe(df), 4)
+    fold_dfs = make_fold_dataframes(df, folds_scenes)
+    entries = write_split_matrix(fold_dfs, str(tmp_path))
+    assert len(entries) == len(split_pairs(4)) == 12
+    t, v, d = entries[0]
+    split = build_split(fold_dfs, t, v)
+    n_train = len(split["train"])
+    n_expected = sum(len(fold_dfs[i]) for i in range(4) if i not in (t, v))
+    assert n_train == n_expected
+    assert os.path.exists(os.path.join(d, "train.csv"))
+    # train/val/test clip paths are disjoint
+    s = [set(split[k]["rgbclips_path"]) for k in ("train", "val", "test")]
+    assert not (s[0] & s[1]) and not (s[0] & s[2]) and not (s[1] & s[2])
+
+
+def test_pipeline_determinism_and_padding(synth_root):
+    _, df = synth_root
+    fold = df.rename(columns={"label": "class"})[
+        ["rgbclips_path", "x_axis_flowclips_path", "y_axis_flowclips_path", "class"]
+    ]
+    spec = SampleSpec(num_frames=8, staging_hw=(32, 32))
+    pipe = BatchPipeline(fold, spec, batch_size=8, seed=42, num_workers=2)
+    b1 = list(pipe.batches(epoch=0))
+    b2 = list(pipe.batches(epoch=0))
+    assert len(b1) == len(pipe)
+    np.testing.assert_array_equal(b1[0]["rgb"], b2[0]["rgb"])
+    np.testing.assert_array_equal(b1[0]["index"], b2[0]["index"])
+    # different epoch → different order
+    b3 = list(pipe.batches(epoch=1))
+    assert not np.array_equal(b1[0]["index"], b3[0]["index"])
+    # last batch padded, mask correct
+    n = len(fold)
+    last = b1[-1]
+    n_valid = n - (len(pipe) - 1) * 8
+    assert last["valid"].sum() == n_valid
+    assert last["rgb"].shape == (8, 8, 32, 32, 3)
+    assert last["rgb"].dtype == np.uint8
+
+
+def test_pipeline_tiling_for_on_the_fly_augmentation(synth_root):
+    _, df = synth_root
+    fold = df.rename(columns={"label": "class"})
+    spec = SampleSpec(num_frames=4, staging_hw=(16, 16))
+    pipe = BatchPipeline(fold, spec, batch_size=4, augmentation_frequency=3, num_workers=2)
+    idx = pipe.epoch_indices(0)
+    assert len(idx) == 3 * len(fold)
+    counts = np.bincount(idx)
+    assert (counts == 3).all()
+
+
+def test_expand_precomputed_augmentation(synth_root):
+    _, df = synth_root
+    fold = df.rename(columns={"label": "class"}).copy()
+    fold["rgbclips_augmented_0_path"] = fold["rgbclips_path"] + "_aug0"
+    fold["rgbclips_augmented_1_path"] = fold["rgbclips_path"] + "_aug1"
+    merged = expand_precomputed_augmentation(fold, 2)
+    assert len(merged) == 3 * len(fold)
+    assert (merged["class"].values[: len(fold)] == fold["class"].values).all()
+
+
+def test_class_weights_balanced():
+    labels = [0, 0, 0, 1]
+    w = class_weights_balanced(labels, 2)
+    np.testing.assert_allclose(w, [4 / (2 * 3), 4 / (2 * 1)])

@@ -1,0 +1,110 @@
+"""Model zoo shape/architecture tests.
+
+Reference geometry anchors: clip shapes train.py:1566-1616; I3D feature head
+train.py:1214-1217; C3D trunk train.py:1224-1273; R3D presets
+train.py:1526-1559.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crowded_scenes_ensemble_classification_tpu.models import (
+    build_model,
+    predict_proba,
+)
+from crowded_scenes_ensemble_classification_tpu.models.common import l2_param_penalty
+
+
+def _n_params(variables):
+    return sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+
+
+@pytest.mark.parametrize("model_type", ["C3D", "R3D_18", "I3D"])
+def test_forward_shapes(model_type):
+    bundle = build_model(model_type, num_classes=11)
+    key = jax.random.key(0)
+    variables = bundle.init(key, batch_size=2)
+    batch = bundle.dummy_batch(batch_size=2)
+    logits = bundle.apply(variables, batch, train=False)
+    assert logits.shape == (2, 11)
+    assert logits.dtype == jnp.float32
+    probs = predict_proba(bundle, variables, batch)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_twostream_forward():
+    bundle = build_model("TWOSTREAM_I3D", num_classes=11)
+    variables = bundle.init(jax.random.key(0), batch_size=1)
+    batch = bundle.dummy_batch(batch_size=1)
+    assert batch["flow"].shape[-1] == 2
+    logits = bundle.apply(variables, batch, train=False)
+    assert logits.shape == (1, 11)
+
+
+def test_c3d_flatten_dim():
+    """C3D on 16x112x112 must reach FC6 with 8192 inputs (512*1*4*4),
+    matching the sports1M head geometry (reference train.py:1224-1273)."""
+    bundle = build_model("C3D", num_classes=487)
+    variables = bundle.init(jax.random.key(0))
+    fc6_kernel = variables["params"]["fc6"]["kernel"]
+    assert fc6_kernel.shape == (8192, 4096)
+
+
+def test_i3d_head_geometry():
+    """20x224x224 input → Mixed_5c (3,7,7,1024) → avgpool(2,7,7) → flatten 2048."""
+    bundle = build_model("I3D", num_classes=11)
+    variables = bundle.init(jax.random.key(0))
+    dense_kernel = variables["params"]["predictions"]["kernel"]
+    assert dense_kernel.shape == (2048, 11)
+
+
+@pytest.mark.parametrize(
+    "depth,expect_block",
+    [(18, "stage0_block1"), (50, "stage3_block2")],
+)
+def test_r3d_depths(depth, expect_block):
+    bundle = build_model(f"R3D_{depth}", num_classes=11)
+    variables = bundle.init(jax.random.key(0))
+    assert expect_block in variables["params"]
+    batch = bundle.dummy_batch()
+    logits = bundle.apply(variables, batch)
+    assert logits.shape == (1, 11)
+
+
+def test_r3d_bottleneck_channels():
+    """Bottleneck expansion ×4: stage3 output must be 2048 channels."""
+    bundle = build_model("R3D_50", num_classes=11)
+    variables = bundle.init(jax.random.key(0))
+    dense_kernel = variables["params"]["predictions"]["kernel"]
+    assert dense_kernel.shape == (2048, 11)
+
+
+def test_l2_penalty_counts_kernels_only():
+    bundle = build_model("R3D_18", num_classes=3)
+    variables = bundle.init(jax.random.key(0))
+    pen = l2_param_penalty(variables["params"], weight=1e-4)
+    assert float(pen) > 0.0
+    # zeroing kernels kills the penalty even with nonzero biases
+    params = jax.tree_util.tree_map(jnp.zeros_like, variables["params"])
+    assert float(l2_param_penalty(params)) == 0.0
+
+
+def test_batchnorm_mutable_train_step():
+    """Training mode must update batch_stats (BN with Keras eps/momentum)."""
+    bundle = build_model("R3D_18", num_classes=3)
+    variables = bundle.init(jax.random.key(0))
+    batch = {
+        "rgb": jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 16, 112, 112, 3)),
+            jnp.float32,
+        )
+    }
+    logits, new_vars = bundle.apply(
+        variables, batch, train=True, mutable=["batch_stats"]
+    )
+    assert logits.shape == (2, 3)
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(new_vars["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
