@@ -1,0 +1,96 @@
+"""Headline benchmark: end-to-end ensemble inference clips/sec/chip.
+
+Measures the BASELINE.json metric on one chip: device-side preprocessing
+(fused crop/flip/noise/resize, ops.augment) → 4-member vmapped I3D forward
+(bf16) → on-device score fusion.  The north-star target is ≥5000 clips/min
+end-to-end on a v5e-8, i.e. ≈10.42 clips/sec/chip; vs_baseline is measured
+against that per-chip rate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_CLIPS_PER_SEC_PER_CHIP = 5000.0 / 60.0 / 8.0  # north-star, per chip
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from crowded_scenes_ensemble_classification_tpu.ensemble.members import (
+        stack_variables,
+    )
+    from crowded_scenes_ensemble_classification_tpu.models import build_model
+    from crowded_scenes_ensemble_classification_tpu.ops.augment import (
+        crowd11_augment_batch,
+    )
+
+    num_members = 4
+    batch = 8
+    frames, size = 20, 224
+    staging = 256
+
+    bundle = build_model("I3D", num_classes=11, dtype=jnp.bfloat16)
+    keys = jax.random.split(jax.random.key(0), num_members)
+    stacked = stack_variables([bundle.init(k) for k in keys])
+
+    @jax.jit
+    def pipeline(stacked_vars, staged_u8, key, carry):
+        x = crowd11_augment_batch(
+            staged_u8.astype(jnp.float32), key, (size, size), p=0.75
+        )
+
+        def member(v):
+            logits = bundle.module.apply(v, x, train=False)
+            return jax.nn.softmax(logits, axis=-1)
+
+        probs = jax.vmap(member)(stacked_vars)  # (M, B, C)
+        fused = jnp.einsum("mbc->bc", probs)  # SUM-weight fusion
+        preds = jnp.argmax(fused, axis=-1)
+        # checksum chains iterations so one scalar fetch syncs them all
+        # (block_until_ready is unreliable through the axon relay).
+        return carry + jnp.sum(preds)
+
+    rng = np.random.default_rng(0)
+    staged = jnp.asarray(
+        rng.integers(0, 255, (batch, frames, staging, staging, 3)), jnp.uint8
+    )
+    key = jax.random.key(1)
+
+    # Warmup / compile (scalar fetch forces execution).
+    float(pipeline(stacked, staged, key, jnp.int32(0)))
+
+    # measure the scalar-fetch roundtrip to subtract it
+    t0 = time.perf_counter()
+    float(pipeline(stacked, staged, key, jnp.int32(0)))
+    single = time.perf_counter() - t0
+
+    iters = 30
+    carry = jnp.int32(0)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        carry = pipeline(stacked, staged, jax.random.fold_in(key, i), carry)
+    float(carry)
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ensemble_inference_clips_per_sec_per_chip",
+                "value": round(clips_per_sec, 2),
+                "unit": "clips/s (4-member I3D ensemble, 20x224x224, bf16, incl. device augment+fusion)",
+                "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC_PER_CHIP, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -30,10 +30,13 @@ def make_clip_array(
     ys, xs = np.mgrid[0:h, 0:w]
     freq = 2 * np.pi * (label + 1) / 16.0
     phase_step = (label % 2 * 2 - 1) * (1 + label // 2)
+    # per-class mean brightness makes the task learnable in very few steps
+    # (tests train for only a handful of epochs on CPU)
+    mean = 40.0 + 170.0 * (label + 0.5) / num_classes
     frames = []
     for i in range(t):
-        base = 127.5 + 100.0 * np.sin(freq * (xs + phase_step * i) + 0.3 * ys)
-        noise = rng.normal(0, 12, size=(h, w))
+        base = mean + 35.0 * np.sin(freq * (xs + phase_step * i) + 0.3 * ys)
+        noise = rng.normal(0, 8, size=(h, w))
         g = np.clip(base + noise, 0, 255)
         frame = np.stack([g, np.roll(g, label, axis=1), np.roll(g, -label, axis=0)], -1)
         frames.append(frame)

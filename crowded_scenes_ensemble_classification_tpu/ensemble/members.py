@@ -1,0 +1,100 @@
+"""Member-parallel ensemble inference: stacked params + vmap over a
+`member` mesh axis.
+
+The reference ran each ensemble member's predict_generator sequentially with
+batch_size=1 (evaluate_ensemble.py:1032-1063).  Here, all members of one
+architecture are a SINGLE stacked pytree; `jax.vmap` maps the forward over
+the member axis, so one jit region computes every member's softmax for a
+batch.  On a mesh with a `member` axis the stacked params are sharded over
+it — member parallelism becomes SPMD instead of a Slurm fan-out
+(SURVEY.md §2.2).
+
+Heterogeneous ensembles (different architectures) can't share one vmap —
+members are grouped by architecture, vmapped within each group, and the
+(M, N, C) probability tensors concatenated (SURVEY.md §7.3.5).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.registry import ModelBundle
+from ..ops.augment import identity_resize_batch
+
+
+def stack_variables(variables_list: Sequence[Dict]) -> Dict:
+    """Stack M same-architecture variable pytrees along a new leading axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *variables_list)
+
+
+def shard_stacked(stacked: Dict, mesh: Mesh, member_axis: str = "member") -> Dict:
+    sharding = NamedSharding(mesh, P(member_axis))
+    return jax.device_put(stacked, sharding)
+
+
+def make_member_forward(
+    bundle: ModelBundle,
+    out_hw: Tuple[int, int],
+    mesh: Optional[Mesh] = None,
+    member_axis: str = "member",
+    data_axis: str = "data",
+):
+    """Returns fn(stacked_vars, batch) → (M, B, C) softmax probabilities."""
+    two_stream = bundle.two_stream
+
+    def forward(stacked_vars, batch):
+        inputs = {"rgb": identity_resize_batch(batch["rgb"].astype(jnp.float32), out_hw)}
+        if two_stream:
+            inputs["flow"] = identity_resize_batch(
+                batch["flow"].astype(jnp.float32), out_hw
+            )
+
+        def one_member(variables):
+            logits = bundle.apply(variables, inputs, train=False)
+            return jax.nn.softmax(logits, axis=-1)
+
+        return jax.vmap(one_member)(stacked_vars)
+
+    if mesh is not None:
+        member = NamedSharding(mesh, P(member_axis))
+        data = NamedSharding(mesh, P(None, data_axis))  # probs (M, B, C)
+        batch_in = NamedSharding(mesh, P(data_axis))
+        batch_shardings = {k: batch_in for k in ("rgb", "label", "valid", "index")}
+        if two_stream:
+            batch_shardings["flow"] = batch_in
+        return jax.jit(
+            forward, in_shardings=(member, batch_shardings), out_shardings=data
+        )
+    return jax.jit(forward)
+
+
+def member_probabilities(
+    bundle: ModelBundle,
+    variables_list: Sequence[Dict],
+    pipeline,
+    mesh: Optional[Mesh] = None,
+) -> np.ndarray:
+    """Run every member over the whole pipeline → (M, N, C) float32, in
+    dataset order (the probability-store tensor; reference
+    store_probabilities evaluate_ensemble.py:1002-1109)."""
+    out_hw = (bundle.clip.height, bundle.clip.width)
+    stacked = stack_variables(variables_list)
+    if mesh is not None and "member" in mesh.axis_names and (
+        len(variables_list) % mesh.shape["member"] == 0
+    ):
+        stacked = shard_stacked(stacked, mesh)
+        forward = make_member_forward(bundle, out_hw, mesh)
+    else:
+        forward = make_member_forward(bundle, out_hw)
+
+    chunks: List[np.ndarray] = []
+    for batch in pipeline.batches(epoch=0):
+        probs = np.asarray(forward(stacked, batch))  # (M, B, C)
+        valid = np.asarray(batch["valid"])
+        chunks.append(probs[:, valid])
+    return np.concatenate(chunks, axis=1)

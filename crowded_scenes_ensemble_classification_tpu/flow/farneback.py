@@ -1,0 +1,180 @@
+"""Dense Farnebäck optical flow, on device.
+
+Replaces the reference's per-frame-pair host call to
+cv2.calcOpticalFlowFarneback (train.py:294-332), using the same parameters:
+pyr_scale=0.5, levels=5, winsize=11, iterations=5, poly_n=5, poly_sigma=1.1.
+The algorithm (Farnebäck 2003, "Two-frame motion estimation based on
+polynomial expansion"):
+
+1. per level, fit a quadratic  f(x) ≈ xᵀAx + bᵀx + c  around every pixel
+   via Gaussian-weighted least squares — 6 separable correlations with
+   {g, x·g, x²·g} kernels and one constant 6×6 normal-matrix solve,
+2. displacement from the expansion coefficients of the two frames
+   (the second warped by the current flow):  A=(A₁+A₂)/2,
+   Δb = −½(b₂−b₁) + A·d₀, then per-pixel 2×2 solve of
+   (Σ_w AᵀA) d = Σ_w AᵀΔb with a winsize box average (cv2's default
+   non-Gaussian mode),
+3. coarse-to-fine: upsample & rescale flow between pyramid levels,
+   `iterations` refinement passes per level.
+
+Everything is separable convs + elementwise math + one tiny linear solve —
+the whole (T−1)-pair extraction jits into a single XLA program (vmapped over
+pairs), so the flow stream never touches the host (BASELINE.json
+north-star).
+
+Accuracy is validated against synthetic translations and cv2 on CPU
+(tests/test_flow.py) rather than bit-matched — cv2's implementation differs
+in border handling and uses separable fixed-point tricks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pyramid import (
+    box_kernel,
+    build_pyramid,
+    gaussian_kernel,
+    upsample_flow,
+    warp_image,
+    _sep_conv2d,
+)
+
+# reference call-site parameters (train.py:322-324)
+REFERENCE_PARAMS = dict(
+    pyr_scale=0.5, levels=5, winsize=11, iterations=5, poly_n=5, poly_sigma=1.1
+)
+
+
+def _poly_exp_setup(poly_n: int, poly_sigma: float):
+    """Precompute the 1-D moment kernels and the constant LS solve matrix.
+
+    Basis order: [1, x, y, x², y², xy]; returns (kernels, Ginv) with
+    kernels = (g, xg, x²g) and Ginv the 6×6 inverse normal matrix under the
+    separable Gaussian weight."""
+    r = (poly_n - 1) // 2
+    xs = np.arange(-r, r + 1, dtype=np.float64)
+    g = np.exp(-0.5 * (xs / poly_sigma) ** 2)
+    g /= g.sum()
+    xg = xs * g
+    x2g = xs * xs * g
+
+    # normal matrix G_ij = Σ_w basis_i · basis_j over the 2-D window
+    W = np.outer(g, g)  # weights w(y, x)
+    Y, X = np.meshgrid(xs, xs, indexing="ij")
+    basis = np.stack([np.ones_like(X), X, Y, X * X, Y * Y, X * Y])  # (6, n, n)
+    G = np.einsum("inm,jnm,nm->ij", basis, basis, W)
+    Ginv = np.linalg.inv(G)
+    return (
+        g.astype(np.float32),
+        xg.astype(np.float32),
+        x2g.astype(np.float32),
+    ), Ginv.astype(np.float32)
+
+
+def polynomial_expansion(
+    img: jax.Array, kernels, Ginv: np.ndarray
+) -> Tuple[jax.Array, jax.Array]:
+    """→ (A (H,W,2,2), b (H,W,2)) of the local quadratic fit."""
+    g, xg, x2g = kernels
+    # weighted moments  r_k = Σ w·basis_k·I  via separable correlations
+    r1 = _sep_conv2d(img, g, g)
+    rx = _sep_conv2d(img, g, xg)
+    ry = _sep_conv2d(img, xg, g)
+    rxx = _sep_conv2d(img, g, x2g)
+    ryy = _sep_conv2d(img, x2g, g)
+    rxy = _sep_conv2d(img, xg, xg)
+    r = jnp.stack([r1, rx, ry, rxx, ryy, rxy], axis=-1)  # (H, W, 6)
+    coef = r @ jnp.asarray(Ginv).T  # (H, W, 6): [c, bx, by, axx, ayy, axy]
+
+    bx, by = coef[..., 1], coef[..., 2]
+    axx, ayy, axy = coef[..., 3], coef[..., 4], coef[..., 5] * 0.5
+    A = jnp.stack(
+        [
+            jnp.stack([axx, axy], -1),
+            jnp.stack([axy, ayy], -1),
+        ],
+        -2,
+    )  # (H, W, 2, 2)
+    b = jnp.stack([bx, by], -1)  # (H, W, 2)
+    return A, b
+
+
+def _displacement_update(
+    A1, b1, A2, b2, flow: jax.Array, win: np.ndarray, eps: float = 1e-6
+) -> jax.Array:
+    """One Farnebäck displacement solve given both expansions and the
+    current flow estimate."""
+    A = 0.5 * (A1 + A2)  # (H, W, 2, 2)
+    # Δb = −½(b₂−b₁) + A·d₀
+    db = -0.5 * (b2 - b1) + jnp.einsum("hwij,hwj->hwi", A, flow)
+
+    # least-squares over the window:  (Σ AᵀA) d = Σ Aᵀdb
+    AtA = jnp.einsum("hwki,hwkj->hwij", A, A)  # (H, W, 2, 2)
+    Atb = jnp.einsum("hwki,hwk->hwi", A, db)  # (H, W, 2)
+
+    def smooth(x):
+        return _sep_conv2d(x, win, win)
+
+    g11 = smooth(AtA[..., 0, 0])
+    g12 = smooth(AtA[..., 0, 1])
+    g22 = smooth(AtA[..., 1, 1])
+    h1 = smooth(Atb[..., 0])
+    h2 = smooth(Atb[..., 1])
+
+    det = g11 * g22 - g12 * g12
+    det = jnp.where(jnp.abs(det) < eps, eps, det)
+    u = (g22 * h1 - g12 * h2) / det
+    v = (g11 * h2 - g12 * h1) / det
+    return jnp.stack([u, v], -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("levels", "winsize", "iterations", "poly_n", "poly_sigma")
+)
+def farneback_flow_pair(
+    prev: jax.Array,
+    curr: jax.Array,
+    levels: int = 5,
+    winsize: int = 11,
+    iterations: int = 5,
+    poly_n: int = 5,
+    poly_sigma: float = 1.1,
+) -> jax.Array:
+    """Dense flow prev→curr for two gray float images (H, W) → (H, W, 2)."""
+    kernels, Ginv = _poly_exp_setup(poly_n, poly_sigma)
+    win = box_kernel(winsize)
+
+    pyr_prev = build_pyramid(prev.astype(jnp.float32), levels)
+    pyr_curr = build_pyramid(curr.astype(jnp.float32), levels)
+
+    flow = jnp.zeros(pyr_prev[-1].shape + (2,), jnp.float32)
+    for lvl in range(len(pyr_prev) - 1, -1, -1):
+        p, c = pyr_prev[lvl], pyr_curr[lvl]
+        if flow.shape[:2] != p.shape:
+            flow = upsample_flow(flow, p.shape)
+        A1, b1 = polynomial_expansion(p, kernels, Ginv)
+        for _ in range(iterations):
+            cw = warp_image(c, flow)
+            A2, b2 = polynomial_expansion(cw, kernels, Ginv)
+            flow = _displacement_update(A1, b1, A2, b2, flow, win)
+    return flow
+
+
+def farneback_flow_clip(gray_clip: jax.Array, **params) -> jax.Array:
+    """(T, H, W) gray frames → (T−1, H, W, 2) flow for consecutive pairs —
+    the reference's per-pair loop (train.py:294-332), vmapped."""
+    prevs = gray_clip[:-1]
+    currs = gray_clip[1:]
+    return jax.vmap(lambda p, c: farneback_flow_pair(p, c, **params))(prevs, currs)
+
+
+def rgb_to_gray(clip: jax.Array) -> jax.Array:
+    """BGR (reference decode order) → gray with cv2's Rec.601 weights."""
+    b, g, r = clip[..., 0], clip[..., 1], clip[..., 2]
+    return 0.114 * b + 0.587 * g + 0.299 * r

@@ -1,0 +1,116 @@
+"""Shared image-pyramid / warping primitives for the dense-flow kernels.
+
+All functions operate on single-channel float32 images (H, W) or batches
+thereof and are jit/vmap friendly (static shapes per pyramid level).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _sep_conv2d(img: jax.Array, ky: np.ndarray, kx: np.ndarray, mode: str = "edge") -> jax.Array:
+    """Separable 2-D correlation with edge-replicated borders."""
+    ry, rx = (len(ky) - 1) // 2, (len(kx) - 1) // 2
+    x = jnp.pad(img, ((ry, ry), (rx, rx)), mode=mode)
+    x = x[None, None]  # NCHW
+    kyx = jnp.asarray(np.outer(ky, kx), jnp.float32)[None, None]
+    out = lax.conv_general_dilated(
+        x, kyx, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
+    )
+    return out[0, 0]
+
+
+def gaussian_kernel(sigma: float, radius: int | None = None) -> np.ndarray:
+    if radius is None:
+        radius = int(4.0 * sigma + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def box_kernel(size: int) -> np.ndarray:
+    return (np.ones(size) / size).astype(np.float32)
+
+
+def blur(img: jax.Array, kernel: np.ndarray) -> jax.Array:
+    return _sep_conv2d(img, kernel, kernel)
+
+
+def pyr_down(img: jax.Array) -> jax.Array:
+    """Gaussian blur + 2× decimation (cv2.pyrDown-style 5-tap kernel)."""
+    k = np.asarray([1, 4, 6, 4, 1], np.float32) / 16.0
+    sm = _sep_conv2d(img, k, k)
+    return sm[::2, ::2]
+
+
+def build_pyramid(img: jax.Array, levels: int, min_size: int = 16) -> List[jax.Array]:
+    """[level0 = full res, level1 = /2, ...], stopping early when small."""
+    pyr = [img]
+    for _ in range(1, levels):
+        h, w = pyr[-1].shape
+        if min(h, w) // 2 < min_size:
+            break
+        pyr.append(pyr_down(pyr[-1]))
+    return pyr
+
+
+def resize_bilinear_2d(img: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    return jax.image.resize(img, out_hw, method="linear")
+
+
+def upsample_flow(flow: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """(H, W, 2) → (out_h, out_w, 2) with displacement values rescaled."""
+    h, w, _ = flow.shape
+    scale_y = out_hw[0] / h
+    scale_x = out_hw[1] / w
+    up = jax.image.resize(flow, (out_hw[0], out_hw[1], 2), method="linear")
+    return up * jnp.asarray([scale_x, scale_y], jnp.float32)
+
+
+def warp_image(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """Sample img at (x + u, y + v); edge-clamped bilinear.
+    flow[..., 0] = u (x-displacement), flow[..., 1] = v (y)."""
+    h, w = img.shape
+    gy, gx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
+    )
+    sx = gx + flow[..., 0]
+    sy = gy + flow[..., 1]
+    sx = jnp.clip(sx, 0.0, w - 1.0)
+    sy = jnp.clip(sy, 0.0, h - 1.0)
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = sx - x0
+    wy = sy - y0
+
+    def gather(yy, xx):
+        yc = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+        return img[yc, xc]
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    return (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+
+
+def image_gradients(img: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Central-difference (∂x, ∂y) with edge replication."""
+    xp = jnp.pad(img, ((0, 0), (1, 1)), mode="edge")
+    gx = (xp[:, 2:] - xp[:, :-2]) * 0.5
+    yp = jnp.pad(img, ((1, 1), (0, 0)), mode="edge")
+    gy = (yp[2:, :] - yp[:-2, :]) * 0.5
+    return gx, gy

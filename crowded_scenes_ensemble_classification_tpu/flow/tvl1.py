@@ -1,0 +1,153 @@
+"""TV-L1 dense optical flow, on device.
+
+The reference pipeline *consumes* precomputed TV-L1 flow videos produced by
+the external py-denseflow project (README.md:76; loader train.py:335-358) —
+the extractor itself is not in the reference repo.  This module provides the
+missing capability natively so the flow stream can be computed on-TPU
+instead of read from `_x.avi`/`_y.avi` files.
+
+Algorithm: Zach, Pock & Bischof 2007 ("A duality based approach for realtime
+TV-L1 optical flow"), in the IPOL (Sánchez et al. 2013) formulation:
+coarse-to-fine pyramid; per warp, first-order Taylor residual
+ρ(u) = I₁(x+u₀) + (u−u₀)·∇I₁ − I₀ with a three-case soft-threshold step on
+ρ, followed by a Chambolle dual update of p with τ/θ steps.  All inner
+loops are lax.fori_loop with static shapes — one XLA program per pyramid
+level.
+
+Outputs can be quantized to the py-denseflow uint8 convention
+(clip to ±bound, map to 0..255) for artifact-compatible `_x/_y` export.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pyramid import build_pyramid, image_gradients, upsample_flow, warp_image
+
+
+def _forward_grad(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Forward differences with Neumann boundary (last row/col zero)."""
+    gx = jnp.concatenate([x[:, 1:] - x[:, :-1], jnp.zeros_like(x[:, :1])], axis=1)
+    gy = jnp.concatenate([x[1:, :] - x[:-1, :], jnp.zeros_like(x[:1, :])], axis=0)
+    return gx, gy
+
+
+def _divergence(px: jax.Array, py: jax.Array) -> jax.Array:
+    """Backward-difference divergence (adjoint of _forward_grad)."""
+    dx = jnp.concatenate([px[:, :1], px[:, 1:-1] - px[:, :-2], -px[:, -2:-1]], axis=1)
+    dy = jnp.concatenate([py[:1, :], py[1:-1, :] - py[:-2, :], -py[-2:-1, :]], axis=0)
+    return dx + dy
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("levels", "warps", "inner_iters"),
+)
+def tvl1_flow_pair(
+    prev: jax.Array,
+    curr: jax.Array,
+    levels: int = 5,
+    warps: int = 5,
+    inner_iters: int = 30,
+    tau: float = 0.25,
+    lambda_: float = 0.15,
+    theta: float = 0.3,
+    eps_grad: float = 1e-6,
+) -> jax.Array:
+    """Dense TV-L1 flow prev→curr: (H, W) gray floats → (H, W, 2).
+
+    Inputs are jointly rescaled to [0, 255] (the IPOL normalization) —
+    λ=0.15 is calibrated for that intensity range."""
+    prev = prev.astype(jnp.float32)
+    curr = curr.astype(jnp.float32)
+    lo = jnp.minimum(jnp.min(prev), jnp.min(curr))
+    hi = jnp.maximum(jnp.max(prev), jnp.max(curr))
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-6)
+    prev = (prev - lo) * scale
+    curr = (curr - lo) * scale
+
+    I0_pyr = build_pyramid(prev, levels)
+    I1_pyr = build_pyramid(curr, levels)
+
+    lt = lambda_ * theta
+    flow = jnp.zeros(I0_pyr[-1].shape + (2,), jnp.float32)
+
+    for lvl in range(len(I0_pyr) - 1, -1, -1):
+        I0, I1 = I0_pyr[lvl], I1_pyr[lvl]
+        if flow.shape[:2] != I0.shape:
+            flow = upsample_flow(flow, I0.shape)
+        I1x_full, I1y_full = image_gradients(I1)
+
+        for _ in range(warps):
+            u0 = flow
+            I1w = warp_image(I1, u0)
+            I1wx = warp_image(I1x_full, u0)
+            I1wy = warp_image(I1y_full, u0)
+            grad2 = I1wx**2 + I1wy**2
+            # constant part of the residual: ρ(u) = ρc + I1wx·u + I1wy·v
+            rho_c = I1w - I1wx * u0[..., 0] - I1wy * u0[..., 1] - I0
+
+            def inner(_, carry):
+                u, px1, py1, px2, py2 = carry
+                rho = rho_c + I1wx * u[..., 0] + I1wy * u[..., 1]
+                # three-case thresholding (IPOL alg. step 1)
+                case1 = rho < -lt * grad2
+                case2 = rho > lt * grad2
+                d1 = jnp.where(
+                    case1,
+                    lt * I1wx,
+                    jnp.where(case2, -lt * I1wx, -rho * I1wx / jnp.maximum(grad2, eps_grad)),
+                )
+                d2 = jnp.where(
+                    case1,
+                    lt * I1wy,
+                    jnp.where(case2, -lt * I1wy, -rho * I1wy / jnp.maximum(grad2, eps_grad)),
+                )
+                v1 = u[..., 0] + d1
+                v2 = u[..., 1] + d2
+
+                # u = v + θ·div(p); then Chambolle dual ascent on p
+                u1 = v1 + theta * _divergence(px1, py1)
+                u2 = v2 + theta * _divergence(px2, py2)
+                g1x, g1y = _forward_grad(u1)
+                g2x, g2y = _forward_grad(u2)
+                taut = tau / theta
+                n1 = jnp.sqrt(g1x**2 + g1y**2)
+                n2 = jnp.sqrt(g2x**2 + g2y**2)
+                px1 = (px1 + taut * g1x) / (1.0 + taut * n1)
+                py1 = (py1 + taut * g1y) / (1.0 + taut * n1)
+                px2 = (px2 + taut * g2x) / (1.0 + taut * n2)
+                py2 = (py2 + taut * g2y) / (1.0 + taut * n2)
+                return jnp.stack([u1, u2], -1), px1, py1, px2, py2
+
+            zeros = jnp.zeros_like(I0)
+            flow, *_ = jax.lax.fori_loop(
+                0, inner_iters, inner, (u0, zeros, zeros, zeros, zeros)
+            )
+            # median-free stabilization: clamp insane values
+            flow = jnp.clip(flow, -float(max(I0.shape)), float(max(I0.shape)))
+    return flow
+
+
+def tvl1_flow_clip(gray_clip: jax.Array, **params) -> jax.Array:
+    """(T, H, W) → (T−1, H, W, 2), vmapped over consecutive pairs."""
+    return jax.vmap(lambda p, c: tvl1_flow_pair(p, c, **params))(
+        gray_clip[:-1], gray_clip[1:]
+    )
+
+
+def quantize_flow_u8(flow: jax.Array, bound: float = 20.0) -> jax.Array:
+    """py-denseflow uint8 convention: clip to ±bound → [0, 255]
+    (the `_x/_y.avi` storage format the reference reads,
+    train.py:335-358)."""
+    q = jnp.clip(flow, -bound, bound)
+    return jnp.round((q + bound) * (255.0 / (2.0 * bound))).astype(jnp.uint8)
+
+
+def dequantize_flow_u8(q: jax.Array, bound: float = 20.0) -> jax.Array:
+    return q.astype(jnp.float32) * (2.0 * bound / 255.0) - bound

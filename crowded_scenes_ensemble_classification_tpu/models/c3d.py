@@ -31,9 +31,14 @@ class C3D(nn.Module):
     num_classes: int = 11
     dtype: jnp.dtype = jnp.float32
     dropout_rate: float = 0.5
+    # width=1.0 is the exact reference topology; smaller values shrink every
+    # layer proportionally (CI / ablation use only — converted reference
+    # checkpoints require width=1.0).
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        w = lambda f: max(int(f * self.width), 8)
         conv = lambda feats, name: nn.Conv(
             feats,
             kernel_size=(3, 3, 3),
@@ -44,22 +49,22 @@ class C3D(nn.Module):
         )
 
         x = x.astype(self.dtype)
-        x = nn.relu(conv(64, "conv1")(x))
+        x = nn.relu(conv(w(64), "conv1")(x))
         x = max_pool_3d(x, (1, 2, 2), (1, 2, 2), "VALID")
 
-        x = nn.relu(conv(128, "conv2")(x))
+        x = nn.relu(conv(w(128), "conv2")(x))
         x = max_pool_3d(x, (2, 2, 2), (2, 2, 2), "VALID")
 
-        x = nn.relu(conv(256, "conv3a")(x))
-        x = nn.relu(conv(256, "conv3b")(x))
+        x = nn.relu(conv(w(256), "conv3a")(x))
+        x = nn.relu(conv(w(256), "conv3b")(x))
         x = max_pool_3d(x, (2, 2, 2), (2, 2, 2), "VALID")
 
-        x = nn.relu(conv(512, "conv4a")(x))
-        x = nn.relu(conv(512, "conv4b")(x))
+        x = nn.relu(conv(w(512), "conv4a")(x))
+        x = nn.relu(conv(w(512), "conv4b")(x))
         x = max_pool_3d(x, (2, 2, 2), (2, 2, 2), "VALID")
 
-        x = nn.relu(conv(512, "conv5a")(x))
-        x = nn.relu(conv(512, "conv5b")(x))
+        x = nn.relu(conv(w(512), "conv5a")(x))
+        x = nn.relu(conv(w(512), "conv5b")(x))
         # ZeroPadding3D(((0,0),(0,1),(0,1))) then valid 2x2x2 pool
         # (reference train.py:1259-1261).
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
@@ -67,11 +72,11 @@ class C3D(nn.Module):
 
         x = flatten(x)
         x = nn.relu(
-            nn.Dense(4096, dtype=self.dtype, param_dtype=jnp.float32, name="fc6")(x)
+            nn.Dense(w(4096), dtype=self.dtype, param_dtype=jnp.float32, name="fc6")(x)
         )
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = nn.relu(
-            nn.Dense(4096, dtype=self.dtype, param_dtype=jnp.float32, name="fc7")(x)
+            nn.Dense(w(4096), dtype=self.dtype, param_dtype=jnp.float32, name="fc7")(x)
         )
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         logits = nn.Dense(

@@ -37,18 +37,34 @@ from .state import TrainState, get_learning_rate, make_optimizer, set_learning_r
 R3D_L2_WEIGHT = 1e-4  # Keras l2(1e-4) on every R3D kernel (train.py:1292)
 
 
-def _preprocess(batch, rng, out_hw, augment: bool, p: float, two_stream: bool):
-    """uint8 staging batch → float32 model inputs, on device."""
+def _preprocess(
+    batch,
+    rng,
+    out_hw,
+    augment: bool,
+    p: float,
+    two_stream: bool,
+    input_scale: float = 1.0,
+):
+    """uint8 staging batch → float32 model inputs, on device.
+
+    input_scale=1.0 reproduces the reference exactly: raw 0-255 BGR floats
+    with NO normalization anywhere (train.py:283-289 — a documented quirk).
+    Scratch training is far more stable with input_scale=1/255; weight
+    converters for reference checkpoints must use 1.0."""
     rgb = batch["rgb"].astype(jnp.float32)
     if augment:
         rgb = crowd11_augment_batch(rgb, rng, out_hw, p=p)
     else:
         rgb = identity_resize_batch(rgb, out_hw)
-    out = {"rgb": rgb}
+    out = {"rgb": rgb * input_scale}
     if two_stream:
         # Flow is never augmented in the reference TVL1 path
         # (train.py:195-221): plain resize only.
-        out["flow"] = identity_resize_batch(batch["flow"].astype(jnp.float32), out_hw)
+        out["flow"] = (
+            identity_resize_batch(batch["flow"].astype(jnp.float32), out_hw)
+            * input_scale
+        )
     return out
 
 
@@ -61,13 +77,16 @@ def make_train_step(
     l2_weight: float = 0.0,
     mesh: Optional[Mesh] = None,
     data_axis: str = "data",
+    input_scale: float = 1.0,
 ):
     two_stream = bundle.two_stream
 
     def train_step(state: TrainState, batch, class_weights):
         rng = jax.random.fold_in(state.rng, state.step)
         rng_aug, rng_drop = jax.random.split(rng)
-        inputs = _preprocess(batch, rng_aug, out_hw, augment, augment_p, two_stream)
+        inputs = _preprocess(
+            batch, rng_aug, out_hw, augment, augment_p, two_stream, input_scale
+        )
         labels = batch["label"].astype(jnp.int32)
         mask = batch["valid"].astype(jnp.float32)
 
@@ -126,11 +145,12 @@ def make_eval_step(
     out_hw: Tuple[int, int],
     mesh: Optional[Mesh] = None,
     data_axis: str = "data",
+    input_scale: float = 1.0,
 ):
     two_stream = bundle.two_stream
 
     def eval_step(variables, batch):
-        inputs = _preprocess(batch, None, out_hw, False, 0.0, two_stream)
+        inputs = _preprocess(batch, None, out_hw, False, 0.0, two_stream, input_scale)
         labels = batch["label"].astype(jnp.int32)
         mask = batch["valid"].astype(jnp.float32)
         logits = bundle.apply(variables, inputs, train=False)
@@ -162,10 +182,11 @@ def evaluate_model(
     out_hw: Tuple[int, int],
     mesh: Optional[Mesh] = None,
     collect_probs: bool = False,
+    input_scale: float = 1.0,
 ) -> Dict[str, Any]:
     """Masked-accurate eval over a BatchPipeline (reference evaluate(),
     train.py:1925-1971 — but batched instead of batch_size=1)."""
-    step = make_eval_step(bundle, out_hw, mesh)
+    step = make_eval_step(bundle, out_hw, mesh, input_scale=input_scale)
     loss_sum = 0.0
     correct = 0.0
     count = 0.0
@@ -204,6 +225,8 @@ def fit(
     early_stopping_patience: int = 100,
     initial_variables: Optional[Dict] = None,
     verbose: bool = False,
+    input_scale: float = 1.0,
+    optimizer: Optional[optax.GradientTransformation] = None,
 ) -> Dict[str, Any]:
     """Epoch loop with the reference's callback semantics.  Returns
     {'history': {...}, 'state': final TrainState, 'best_val_loss': float}.
@@ -212,7 +235,7 @@ def fit(
 
     out_hw = (bundle.clip.height, bundle.clip.width)
     policy = lr_policy or lr_policy_for(bundle.model_type)
-    tx = make_optimizer(bundle.model_type, policy.initial_lr)
+    tx = optimizer or make_optimizer(bundle.model_type, policy.initial_lr)
     l2w = R3D_L2_WEIGHT if bundle.model_type.startswith("R3D") else 0.0
 
     rng = jax.random.key(seed)
@@ -237,7 +260,7 @@ def fit(
         cw = jnp.ones((bundle.num_classes,), jnp.float32)
 
     train_step = make_train_step(
-        bundle, tx, out_hw, augment, augment_p, l2w, mesh
+        bundle, tx, out_hw, augment, augment_p, l2w, mesh, input_scale=input_scale
     )
     early = EarlyStopping(patience=early_stopping_patience)
     history = {"loss": [], "accuracy": [], "val_loss": [], "val_accuracy": []}
@@ -246,7 +269,8 @@ def fit(
 
     for epoch in range(epochs):
         lr = policy.epoch_begin_lr(epoch, lr)
-        state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
+        if hasattr(state.opt_state, "hyperparams"):
+            state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
 
         losses, accs = [], []
         for batch in train_pipeline.batches(epoch=epoch):
@@ -260,7 +284,10 @@ def fit(
             history["loss"].append(epoch_loss)
             break
 
-        val = evaluate_model(bundle, state.variables(), val_pipeline, out_hw, mesh)
+        val = evaluate_model(
+            bundle, state.variables(), val_pipeline, out_hw, mesh,
+            input_scale=input_scale,
+        )
         history["loss"].append(epoch_loss)
         history["accuracy"].append(epoch_acc)
         history["val_loss"].append(val["loss"])

@@ -1,0 +1,178 @@
+"""Train engine tests: a tiny C3D learns synthetic classes end-to-end on
+CPU; callbacks mirror reference semantics (SURVEY.md §4f)."""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crowded_scenes_ensemble_classification_tpu.core.config import ClipSpec
+from crowded_scenes_ensemble_classification_tpu.core.mesh import make_mesh
+from crowded_scenes_ensemble_classification_tpu.data import (
+    BatchPipeline,
+    SampleSpec,
+    generate_synthetic_dataset,
+)
+from crowded_scenes_ensemble_classification_tpu.models import C3D
+from crowded_scenes_ensemble_classification_tpu.models.registry import ModelBundle
+from crowded_scenes_ensemble_classification_tpu.train import (
+    EarlyStopping,
+    LRPolicy,
+    ReduceLROnPlateau,
+    StepDecayEvery4,
+    evaluate_model,
+    fit,
+    lr_policy_for,
+    restore_best,
+    save_best,
+)
+
+
+def tiny_c3d_bundle(num_classes=3):
+    """C3D shrunk to 16x32x32 / width 0.125 so CPU CI is fast; same topology."""
+    return ModelBundle(
+        model_type="C3D",
+        module=C3D(num_classes=num_classes, width=0.125),
+        clip=ClipSpec(frames=16, height=32, width=32),
+        num_classes=num_classes,
+        two_stream=False,
+    )
+
+
+def test_optimizer(lr=2e-3):
+    import optax
+
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_synth")
+    df = generate_synthetic_dataset(
+        str(root), num_scenes=9, clips_per_scene=4, num_classes=3,
+        num_frames=16, hw=(40, 40), as_videos=False,
+    )
+    df = df.rename(columns={"label": "class"})
+    return df
+
+
+def make_pipes(df, bundle):
+    spec = SampleSpec(num_frames=bundle.clip.frames, staging_hw=(40, 40))
+    train_df = df.iloc[: len(df) * 2 // 3].reset_index(drop=True)
+    val_df = df.iloc[len(df) * 2 // 3 :].reset_index(drop=True)
+    return (
+        BatchPipeline(train_df, spec, batch_size=8, seed=1, num_workers=2),
+        BatchPipeline(val_df, spec, batch_size=8, shuffle=False, num_workers=2),
+    )
+
+
+def test_fit_learns_synthetic(synth, tmp_path):
+    bundle = tiny_c3d_bundle()
+    train_pipe, val_pipe = make_pipes(synth, bundle)
+    result = fit(
+        bundle,
+        train_pipe,
+        val_pipe,
+        epochs=8,
+        seed=0,
+        augment=False,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        input_scale=1 / 255.0,
+        lr_policy=LRPolicy(initial_lr=2e-3),
+        optimizer=test_optimizer(),
+    )
+    hist = result["history"]
+    assert len(hist["val_loss"]) >= 1
+    assert hist["loss"][-1] < hist["loss"][0]
+    # synthetic stripes are easy: expect clearly-above-chance train accuracy
+    assert hist["accuracy"][-1] > 0.5
+
+    # best checkpoint restorable and evaluable
+    variables = restore_best(str(tmp_path / "ckpt"), result["state"].variables())
+    out = evaluate_model(
+        bundle, variables, val_pipe, (32, 32), collect_probs=True,
+        input_scale=1 / 255.0,
+    )
+    assert out["count"] == len(val_pipe.df)
+    assert out["probs"].shape == (out["count"], 3)
+    np.testing.assert_allclose(out["probs"].sum(-1), 1.0, rtol=1e-4)
+
+
+def test_fit_on_virtual_mesh(synth, tmp_path):
+    """Data-parallel fit over the 8-device virtual CPU mesh."""
+    bundle = tiny_c3d_bundle()
+    mesh = make_mesh((("data", -1),))
+    assert mesh.devices.size == 8
+    train_pipe, val_pipe = make_pipes(synth, bundle)
+    result = fit(
+        bundle, train_pipe, val_pipe, epochs=1, seed=0, mesh=mesh,
+        input_scale=1 / 255.0, optimizer=test_optimizer(),
+    )
+    assert len(result["history"]["loss"]) == 1
+    assert math.isfinite(result["history"]["loss"][0])
+
+
+def test_fit_balanced_and_augmented(synth):
+    bundle = tiny_c3d_bundle()
+    train_pipe, val_pipe = make_pipes(synth, bundle)
+    result = fit(
+        bundle,
+        train_pipe,
+        val_pipe,
+        epochs=1,
+        augment=True,
+        augment_p=0.75,
+        balanced_classes=True,
+        input_scale=1 / 255.0,
+        optimizer=test_optimizer(),
+    )
+    assert math.isfinite(result["history"]["loss"][0])
+
+
+# ------------------------------------------------------------ callbacks
+
+
+def test_step_decay_every_4():
+    s = StepDecayEvery4()
+    lr = 0.003
+    seen = []
+    for epoch in range(9):
+        lr = s(epoch, lr)
+        seen.append(lr)
+    assert seen[0] == pytest.approx(0.003)
+    assert seen[4] == pytest.approx(0.0003)
+    assert seen[8] == pytest.approx(0.00003)
+
+
+def test_reduce_on_plateau_patience0():
+    """I3D policy: factor 0.1, patience 0 → halve-on-any-non-improvement
+    immediately (train.py:1866-1871)."""
+    p = ReduceLROnPlateau(factor=0.1, patience=0, min_lr=1e-6)
+    lr = 0.003
+    lr = p.update(1.0, lr)  # first epoch: improvement vs inf
+    assert lr == pytest.approx(0.003)
+    lr = p.update(1.1, lr)  # worse → immediate reduction
+    assert lr == pytest.approx(0.0003)
+    lr = p.update(0.5, lr)  # improvement → hold
+    assert lr == pytest.approx(0.0003)
+
+
+def test_early_stopping():
+    e = EarlyStopping(patience=2)
+    assert not e.update(1.0)
+    assert not e.update(1.1)
+    assert not e.update(1.2)
+    assert e.update(1.3)  # third consecutive non-improvement > patience
+
+
+def test_lr_policy_table():
+    c3d = lr_policy_for("C3D")
+    assert c3d.step_decay is not None and c3d.plateau.patience == 200
+    i3d = lr_policy_for("I3D")
+    assert i3d.initial_lr == 0.003 and i3d.plateau.patience == 0
+    r3d = lr_policy_for("R3D_18")
+    # dead-branch reproduction: R3D uses the I3D plateau policy
+    assert r3d.initial_lr == 1e-3 and r3d.plateau.patience == 0
