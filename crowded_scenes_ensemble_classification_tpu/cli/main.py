@@ -1,0 +1,378 @@
+"""Command-line interface.
+
+Maps 1:1 onto the reference's entry points (SURVEY.md §7.1.9):
+
+  folds     — generate_folds.py
+  augment   — augment_dataset.py
+  launch    — launch_train_ensemble.py (prepare + fan-out)
+  train     — train.py (one ensemble member)
+  probs     — evaluate_ensemble.py -op Store_models_probabilities
+  ensemble  — evaluate_ensemble.py -op Evaluate_ensembles /
+              Global_evaluate_models / Combine_ensembles
+  report    — evaluate_ensemble.py -op Confusion_matrices /
+              Difference_matrices / StickDiagrams…
+  bench     — the clips/sec harness (no reference equivalent)
+
+Unlike the reference, experiment identity lives in one JSON config (saved
+into the work dir) rather than path-encoded names.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from ..core.config import (
+    AUGMENTATION_STATUSES,
+    CLASSES_STATUSES,
+    ExperimentConfig,
+    MODEL_TYPES,
+    OPTICAL_FLOW_STATUSES,
+    TRAINING_CONDITIONS,
+    WEIGHTING_SCHEMES,
+)
+
+
+def _add_config_flags(p: argparse.ArgumentParser):
+    p.add_argument("--model-type", "-mt", choices=MODEL_TYPES, default="C3D")
+    p.add_argument(
+        "--training-condition", "-tc", choices=TRAINING_CONDITIONS, default="_SCRATCH"
+    )
+    p.add_argument("--folds-number", "-fn", type=int, default=5)
+    p.add_argument("--classes-status", "-cs", choices=CLASSES_STATUSES, default="unbalanced")
+    p.add_argument(
+        "--augmentation-status", "-as", choices=AUGMENTATION_STATUSES,
+        default="non_augmented",
+    )
+    p.add_argument("--augmentation-frequency", "-af", type=int, default=1)
+    p.add_argument(
+        "--optical-flow-status", "-ofs", choices=OPTICAL_FLOW_STATUSES,
+        default="FarneBack_onTheFly",
+    )
+    p.add_argument("--num-classes", type=int, default=11)
+    p.add_argument("--batch-size", "-bs", type=int, default=16)
+    p.add_argument("--epochs", "-e", type=int, default=100)
+
+
+def _config_from_args(args) -> ExperimentConfig:
+    return ExperimentConfig(
+        model_type=args.model_type,
+        training_condition=args.training_condition,
+        folds_number=args.folds_number,
+        classes_status=args.classes_status,
+        augmentation_status=args.augmentation_status,
+        augmentation_frequency=args.augmentation_frequency,
+        optical_flow_status=args.optical_flow_status,
+        num_classes=args.num_classes,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="crowded_scenes_ensemble_classification_tpu"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("folds", help="scene-stratified k-fold generation")
+    p.add_argument("--dataset-directory", "-df", required=True)
+    p.add_argument("--database-file", "-db", default=None)
+    p.add_argument("--parent-folds-folder", "-pff", required=True)
+    p.add_argument("--folds-number", "-fn", type=int, default=5)
+
+    p = sub.add_parser("augment", help="offline (precomputed) augmentation")
+    p.add_argument("--folds-folder", required=True)
+    p.add_argument("--augmented-data-folder", required=True)
+    p.add_argument("--folds-number", "-fn", type=int, default=5)
+    p.add_argument("--augmentation-frequency", "-af", type=int, default=1)
+    p.add_argument(
+        "--operation", choices=["augment_videos", "update_links"],
+        default="augment_videos",
+    )
+
+    p = sub.add_parser("launch", help="prepare + train all ensemble members")
+    _add_config_flags(p)
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--dataset-directory", "-df", default=None)
+    p.add_argument("--database-file", "-db", default=None)
+    p.add_argument("--runner", choices=["local", "commands"], default="local")
+    p.add_argument("--input-scale", type=float, default=1.0)
+
+    p = sub.add_parser("train", help="train one (test, val) ensemble member")
+    _add_config_flags(p)
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--test-index", "-t", type=int, required=True)
+    p.add_argument("--val-index", "-v", type=int, required=True)
+    p.add_argument("--input-scale", type=float, default=1.0)
+    p.add_argument("--verbose", action="store_true")
+
+    p = sub.add_parser("probs", help="cache member softmax probabilities")
+    _add_config_flags(p)
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--test-index", "-t", type=int, default=None)
+    p.add_argument("--subset", choices=["test", "train_val"], default="test")
+    p.add_argument("--export-csv", action="store_true",
+                   help="also write the legacy (path, probabilities) CSV")
+
+    p = sub.add_parser("ensemble", help="ensemble evaluation")
+    _add_config_flags(p)
+    p.add_argument("--work-dir", required=True)
+    p.add_argument(
+        "--operation", choices=["evaluate", "global", "combine"], default="evaluate"
+    )
+    p.add_argument("--weights-type", "-wt", choices=WEIGHTING_SCHEMES, default="SUM")
+    p.add_argument("--de-seed", type=int, default=None)
+
+    p = sub.add_parser("report", help="confusion/difference/agreement reports")
+    _add_config_flags(p)
+    p.add_argument("--work-dir", required=True)
+    p.add_argument(
+        "--operation",
+        choices=["confusion", "difference", "agreement"],
+        default="confusion",
+    )
+    p.add_argument("--weights-type", "-wt", choices=WEIGHTING_SCHEMES, default="SUM")
+
+    sub.add_parser("bench", help="run the clips/sec benchmark")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.command == "folds":
+        from ..data.crowd11 import build_clip_table
+        from ..data.folds import generate_folds
+
+        table = build_clip_table(args.dataset_directory, args.database_file)
+        folder, _ = generate_folds(
+            table, args.parent_folds_folder, args.folds_number
+        )
+        print(f"folds written to {folder}")
+        return 0
+
+    if args.command == "augment":
+        from ..data.augment_offline import augment_folds
+
+        augment_folds(
+            args.folds_folder,
+            args.augmented_data_folder,
+            args.folds_number,
+            args.augmentation_frequency,
+            operation=args.operation,
+        )
+        print("augmentation complete")
+        return 0
+
+    if args.command == "launch":
+        from ..orchestration import launch_ensemble_training
+
+        config = _config_from_args(args)
+        table = None
+        if args.dataset_directory:
+            from ..data.crowd11 import build_clip_table
+
+            table = build_clip_table(args.dataset_directory, args.database_file)
+        out = launch_ensemble_training(
+            config, table, args.work_dir, runner=args.runner,
+            input_scale=args.input_scale,
+        )
+        if args.runner == "commands":
+            print("\n".join(out))
+        else:
+            for (t, v), r in out.items():
+                print(
+                    f"split test{t} val{v}: test_acc={r['test_accuracy']:.4f} "
+                    f"test_loss={r['test_loss']:.4f}"
+                )
+        config.save(os.path.join(args.work_dir, "experiment.json"))
+        return 0
+
+    if args.command == "train":
+        from ..orchestration import WorkLayout, prepare_ensemble, train_member
+
+        config = _config_from_args(args)
+        layout = prepare_ensemble(config, None, args.work_dir)
+        out = train_member(
+            config,
+            layout,
+            args.test_index,
+            args.val_index,
+            input_scale=args.input_scale,
+            verbose=args.verbose,
+        )
+        print(
+            f"test_acc={out['test_accuracy']:.4f} test_loss={out['test_loss']:.4f} "
+            f"best_val_loss={out['best_val_loss']:.4f}"
+        )
+        return 0
+
+    if args.command == "probs":
+        from ..ensemble.probability_store import export_reference_csv
+        from ..orchestration import WorkLayout, cache_probabilities
+
+        config = _config_from_args(args)
+        layout = WorkLayout(args.work_dir)
+        tests = (
+            [args.test_index]
+            if args.test_index is not None
+            else range(config.folds_number)
+        )
+        for t in tests:
+            path = cache_probabilities(config, layout, t, args.subset)
+            print(path)
+            if args.export_csv:
+                print(export_reference_csv(path, path.replace(".npz", ".csv")))
+        return 0
+
+    if args.command == "ensemble":
+        from ..ensemble.evaluate import (
+            combine_ensembles,
+            evaluate_ensembles,
+            global_evaluate_ensembles,
+            save_global_predictions_csv,
+        )
+        from ..orchestration import (
+            WorkLayout,
+            make_prob_provider,
+            min_val_losses_provider,
+        )
+
+        config = _config_from_args(args)
+        layout = WorkLayout(args.work_dir)
+        provider = make_prob_provider(config, layout)
+        if args.operation == "evaluate":
+            res = evaluate_ensembles(
+                provider,
+                config.folds_number,
+                args.weights_type,
+                name=config.subfolder_name(),
+                min_val_losses_provider=min_val_losses_provider(config, layout),
+                de_seed=args.de_seed,
+            )
+            for f in res.folds:
+                print(f"fold {f.test_index}: accuracy {f.accuracy:.4f}")
+            print(f"mean accuracy: {res.mean_accuracy:.4f}")
+            print(res.save_predictions_csv(layout.results_dir))
+            wpath = res.save_weights_npy(layout.results_dir)
+            if wpath:
+                print(wpath)
+        else:
+            providers = {config.subfolder_name(): provider}
+            if args.operation == "global":
+                res = global_evaluate_ensembles(providers, config.folds_number)
+                print(f"global mean accuracy: {res.mean_accuracy:.4f}")
+                print(save_global_predictions_csv(res, layout.results_dir))
+            else:
+                ranked = combine_ensembles(providers, config.folds_number)
+                for subset, acc in ranked:
+                    print(f"{'+'.join(subset)}: {acc:.4f}")
+        return 0
+
+    if args.command == "report":
+        from ..ensemble.evaluate import evaluate_ensembles
+        from ..orchestration import (
+            WorkLayout,
+            make_prob_provider,
+            min_val_losses_provider,
+        )
+        from ..reports import (
+            agreement_histogram,
+            confusion_matrix,
+            members_correct_per_clip,
+            render_agreement_pdf,
+            render_confusion_grid_pdf,
+            render_confusion_pdf,
+            render_difference_pdf,
+            difference_matrix,
+            row_normalize,
+        )
+
+        config = _config_from_args(args)
+        layout = WorkLayout(args.work_dir)
+        provider = make_prob_provider(config, layout)
+        res = evaluate_ensembles(
+            provider,
+            config.folds_number,
+            args.weights_type,
+            name=config.subfolder_name(),
+            min_val_losses_provider=min_val_losses_provider(config, layout),
+        )
+        os.makedirs(layout.results_dir, exist_ok=True)
+        k = config.folds_number
+        if args.operation == "confusion":
+            cms = []
+            for f in res.folds:
+                d = provider(f.test_index, "test")
+                cms.append(
+                    row_normalize(
+                        confusion_matrix(d["labels"], f.predictions, config.num_classes)
+                    )
+                )
+            path = render_confusion_grid_pdf(
+                cms,
+                os.path.join(
+                    layout.results_dir,
+                    f"confusion_{config.subfolder_name()}.pdf",
+                ),
+            )
+            print(path)
+        elif args.operation == "difference":
+            for f in res.folds:
+                d = provider(f.test_index, "test")
+                ens_cm = row_normalize(
+                    confusion_matrix(d["labels"], f.predictions, config.num_classes)
+                )
+                for i in range(d["probs"].shape[0]):
+                    member_cm = row_normalize(
+                        confusion_matrix(
+                            d["labels"],
+                            np.argmax(d["probs"][i], -1),
+                            config.num_classes,
+                        )
+                    )
+                    path = render_difference_pdf(
+                        difference_matrix(ens_cm, member_cm),
+                        os.path.join(
+                            layout.results_dir,
+                            f"difference_{config.subfolder_name()}_t{f.test_index}_m{i}.pdf",
+                        ),
+                    )
+                    print(path)
+        else:  # agreement
+            hists = []
+            n_members = config.folds_number - 1
+            for f in res.folds:
+                d = provider(f.test_index, "test")
+                counts = members_correct_per_clip(d["probs"], d["labels"])
+                hists.append(agreement_histogram(counts, n_members))
+            path = render_agreement_pdf(
+                hists,
+                os.path.join(
+                    layout.results_dir,
+                    f"agreement_{config.subfolder_name()}.pdf",
+                ),
+                n_members=n_members,
+            )
+            print(path)
+        return 0
+
+    if args.command == "bench":
+        import runpy
+
+        runpy.run_path(
+            os.path.join(os.path.dirname(__file__), "..", "..", "bench.py"),
+            run_name="__main__",
+        )
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,373 @@
+"""Experiment orchestration: the Slurm-launcher equivalent, TPU-native.
+
+The reference fanned out k·(k−1) independent single-GPU Slurm jobs per
+ensemble (`launcher`, launch_train_ensemble.py:88-158; `sbatch train.sh` at
+:144-158) and pre-created TestSplit artifact directories
+(sortOut_future_trainedModels :14-82).  Communication between stages was the
+filesystem naming protocol.
+
+Here one controller drives the whole ensemble:
+- `prepare_ensemble` — folds (if missing) → split matrix → optional offline
+  augmentation → artifact dirs + manifest,
+- `train_member` — one (test, val) member: fit + test eval + history
+  artifact (the reference's train.py main, train.py:1978-2051),
+- `launch_ensemble_training` — run all members locally (sequential on one
+  chip, or member-sharded on a mesh), or emit the CLI command list for
+  external schedulers (the sbatch-parity mode),
+- `cache_probabilities` / `make_prob_provider` — the probability store
+  (reference store_probabilities, evaluate_ensemble.py:1002-1109) built on
+  vmapped member-parallel inference, feeding ensemble.evaluate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from .core.config import ExperimentConfig, member_val_indices, split_pairs
+from .core.manifest import ArtifactRecord, Manifest
+from .data.augment_offline import augment_folds
+from .data.folds import generate_folds
+from .data.pipeline import BatchPipeline, SampleSpec, expand_precomputed_augmentation
+from .data.splits import load_fold_csvs, split_dir_name, write_split_matrix
+from .ensemble.members import member_probabilities
+from .ensemble.probability_store import (
+    load_probabilities,
+    probabilities_exist,
+    probability_cache_path,
+    save_probabilities,
+)
+from .models.registry import ModelBundle, build_model
+from .train.checkpoints import best_exists, restore_best
+from .train.engine import evaluate_model, fit, store_history
+
+DEFAULT_STAGING_HW = (256, 256)
+
+
+@dataclasses.dataclass
+class WorkLayout:
+    """Directory layout of one experiment workspace."""
+
+    root: str
+
+    @property
+    def folds_dir(self) -> str:
+        return os.path.join(self.root, "Folds")
+
+    @property
+    def splits_dir(self) -> str:
+        return os.path.join(self.root, "Splits")
+
+    @property
+    def augmented_dir(self) -> str:
+        return os.path.join(self.root, "Augmented_data")
+
+    @property
+    def models_dir(self) -> str:
+        return os.path.join(self.root, "Trained_models")
+
+    @property
+    def probs_dir(self) -> str:
+        return os.path.join(self.root, "Probabilities")
+
+    @property
+    def results_dir(self) -> str:
+        return os.path.join(self.root, "Results")
+
+    def checkpoint_dir(self, config: ExperimentConfig, t: int, v: int) -> str:
+        return os.path.join(self.models_dir, config.weights_relpath(t, v))
+
+    def history_path(self, config: ExperimentConfig, t: int, v: int) -> str:
+        return os.path.join(self.models_dir, config.history_relpath(t, v))
+
+    def split_csv(self, t: int, v: int, name: str) -> str:
+        return os.path.join(self.splits_dir, split_dir_name(t, v), f"{name}.csv")
+
+
+def prepare_ensemble(
+    config: ExperimentConfig,
+    clip_table: Optional[pd.DataFrame],
+    work_dir: str,
+    seed: int = 0,
+) -> WorkLayout:
+    """Folds → splits → (optional) offline augmentation → dirs + manifest."""
+    layout = WorkLayout(work_dir)
+    folds_subdir = os.path.join(layout.folds_dir, f"{config.folds_number}_folds")
+
+    if not os.path.exists(os.path.join(folds_subdir, "fold0.csv")):
+        if clip_table is None:
+            raise FileNotFoundError(
+                f"no folds at {folds_subdir} and no clip_table to generate them"
+            )
+        generate_folds(clip_table, layout.folds_dir, config.folds_number)
+
+    if config.augmentation_status == "augmented_precomputed":
+        augment_folds(
+            folds_subdir,
+            layout.augmented_dir,
+            config.folds_number,
+            config.augmentation_frequency,
+            seed=seed,
+        )
+
+    fold_dfs = load_fold_csvs(folds_subdir, config.folds_number)
+    write_split_matrix(fold_dfs, layout.splits_dir)
+
+    # pre-create TestSplit dirs (sortOut_future_trainedModels semantics)
+    for t in range(config.folds_number):
+        os.makedirs(
+            os.path.join(layout.models_dir, config.subfolder_name(), f"TestSplit{t}"),
+            exist_ok=True,
+        )
+
+    manifest = Manifest(work_dir, config)
+    for i in range(config.folds_number):
+        manifest.add(
+            ArtifactRecord(
+                kind="fold_csv",
+                path=os.path.relpath(
+                    os.path.join(folds_subdir, f"fold{i}.csv"), work_dir
+                ),
+                test_index=i,
+                fmt="csv",
+            ),
+            save=False,
+        )
+    manifest.save()
+    return layout
+
+
+def _pipelines_for_split(
+    config: ExperimentConfig,
+    layout: WorkLayout,
+    t: int,
+    v: int,
+    staging_hw=DEFAULT_STAGING_HW,
+    num_workers: int = 8,
+) -> Dict[str, BatchPipeline]:
+    spec = SampleSpec(
+        num_frames=config.clip.frames,
+        staging_hw=staging_hw,
+        two_stream=config.is_two_stream,
+        flow_precomputed=(config.optical_flow_status == "TVL1_precomputed"),
+    )
+    out = {}
+    for name in ("train", "val", "test"):
+        df = pd.read_csv(layout.split_csv(t, v, name))
+        if name == "train" and config.augmentation_status == "augmented_precomputed":
+            df = expand_precomputed_augmentation(df, config.augmentation_frequency)
+        out[name] = BatchPipeline(
+            df,
+            spec,
+            batch_size=config.batch_size,
+            shuffle=(name == "train"),
+            seed=hash((t, v, name)) % (2**31),
+            num_workers=num_workers,
+        )
+    return out
+
+
+def train_member(
+    config: ExperimentConfig,
+    layout: WorkLayout,
+    t: int,
+    v: int,
+    *,
+    mesh=None,
+    epochs: Optional[int] = None,
+    seed: int = 0,
+    input_scale: float = 1.0,
+    bundle: Optional[ModelBundle] = None,
+    initial_variables: Optional[Dict] = None,
+    verbose: bool = False,
+    num_workers: int = 8,
+    optimizer=None,
+    staging_hw=DEFAULT_STAGING_HW,
+) -> Dict[str, Any]:
+    """One ensemble member end-to-end: fit → test eval → history artifact
+    (reference train.py main, :1978-2051)."""
+    bundle = bundle or build_model(config.model_type, config.num_classes)
+    pipes = _pipelines_for_split(
+        config, layout, t, v, staging_hw=staging_hw, num_workers=num_workers
+    )
+    ckpt_dir = layout.checkpoint_dir(config, t, v)
+
+    result = fit(
+        bundle,
+        pipes["train"],
+        pipes["val"],
+        epochs=epochs if epochs is not None else config.epochs,
+        seed=seed + 1000 * t + v,
+        augment=(config.augmentation_status == "augmented_onTheFly"),
+        augment_p=0.75,  # on-the-fly probability (train.py:177)
+        balanced_classes=(config.classes_status == "balanced"),
+        mesh=mesh,
+        checkpoint_dir=ckpt_dir,
+        initial_variables=initial_variables,
+        input_scale=input_scale,
+        verbose=verbose,
+        optimizer=optimizer,
+    )
+
+    best_vars = restore_best(ckpt_dir, result["state"].variables())
+    out_hw = (bundle.clip.height, bundle.clip.width)
+    test = evaluate_model(
+        bundle, best_vars, pipes["test"], out_hw, mesh, input_scale=input_scale
+    )
+    store_history(result["history"], layout.history_path(config, t, v))
+    return {
+        "history": result["history"],
+        "best_val_loss": result["best_val_loss"],
+        "test_loss": test["loss"],
+        "test_accuracy": test["accuracy"],
+        "checkpoint_dir": ckpt_dir,
+    }
+
+
+def member_cli_commands(config: ExperimentConfig, work_dir: str) -> List[str]:
+    """The sbatch-parity mode: one CLI command per (t, v) member, for
+    external schedulers (reference launch_train_ensemble.py:144-158)."""
+    cmds = []
+    for t, v in split_pairs(config.folds_number):
+        cmds.append(
+            "python -m crowded_scenes_ensemble_classification_tpu train"
+            f" --work-dir {work_dir}"
+            f" --model-type {config.model_type}"
+            f" --training-condition {config.training_condition}"
+            f" --folds-number {config.folds_number}"
+            f" --test-index {t} --val-index {v}"
+            f" --augmentation-status {config.augmentation_status}"
+            f" --optical-flow-status {config.optical_flow_status}"
+            f" --classes-status {config.classes_status}"
+            f" --batch-size {config.batch_size}"
+            f" --epochs {config.epochs}"
+        )
+    return cmds
+
+
+def launch_ensemble_training(
+    config: ExperimentConfig,
+    clip_table: Optional[pd.DataFrame],
+    work_dir: str,
+    runner: str = "local",
+    **member_kwargs,
+) -> Any:
+    """Prepare + train all k·(k−1) members.
+
+    runner='local'    — sequential on this host/chip.
+    runner='commands' — return the CLI command list (external fan-out).
+    """
+    layout = prepare_ensemble(config, clip_table, work_dir)
+    if runner == "commands":
+        return member_cli_commands(config, work_dir)
+    results = {}
+    for t, v in split_pairs(config.folds_number):
+        results[(t, v)] = train_member(config, layout, t, v, **member_kwargs)
+    return results
+
+
+# ----------------------------------------------------------------------
+# Probability store orchestration
+# ----------------------------------------------------------------------
+
+
+def _member_variables(
+    config: ExperimentConfig, layout: WorkLayout, bundle: ModelBundle, t: int
+) -> Tuple[List[Dict], List[str]]:
+    import jax
+
+    template = bundle.init(jax.random.key(0))
+    variables, names = [], []
+    for v in member_val_indices(config.folds_number, t):
+        ckpt = layout.checkpoint_dir(config, t, v)
+        if not best_exists(ckpt):
+            raise FileNotFoundError(f"missing checkpoint {ckpt}")
+        variables.append(restore_best(ckpt, template))
+        names.append(config.artifact_stem(t, v))
+    return variables, names
+
+
+def cache_probabilities(
+    config: ExperimentConfig,
+    layout: WorkLayout,
+    t: int,
+    subset: str = "test",
+    mesh=None,
+    bundle: Optional[ModelBundle] = None,
+    num_workers: int = 8,
+    recompute: bool = False,
+    staging_hw=DEFAULT_STAGING_HW,
+) -> str:
+    """(M, N, C) member probabilities for one test fold → npz cache
+    (reference store_probabilities; subset='train_val' concatenates train and
+    val like evaluate_ensemble.py:1079-1108)."""
+    bundle = bundle or build_model(config.model_type, config.num_classes)
+    path = probability_cache_path(
+        layout.probs_dir, config.subfolder_name(), t, subset
+    )
+    if probabilities_exist(path) and not recompute:
+        return path
+
+    variables, names = _member_variables(config, layout, bundle, t)
+    # any val index works for reading the split CSVs of this test fold
+    v0 = member_val_indices(config.folds_number, t)[0]
+    spec = SampleSpec(
+        num_frames=config.clip.frames,
+        staging_hw=staging_hw,
+        two_stream=config.is_two_stream,
+        flow_precomputed=(config.optical_flow_status == "TVL1_precomputed"),
+    )
+    if subset == "test":
+        df = pd.read_csv(layout.split_csv(t, v0, "test"))
+    elif subset == "train_val":
+        df = pd.concat(
+            [
+                pd.read_csv(layout.split_csv(t, v0, "train")),
+                pd.read_csv(layout.split_csv(t, v0, "val")),
+            ],
+            ignore_index=True,
+        )
+    else:
+        raise ValueError(f"unknown subset {subset!r}")
+
+    pipe = BatchPipeline(
+        df, spec, batch_size=config.batch_size, shuffle=False, num_workers=num_workers
+    )
+    probs = member_probabilities(bundle, variables, pipe, mesh=mesh)
+    labels = df["class"].astype(int).values
+    save_probabilities(path, probs, labels, names)
+    return path
+
+
+def make_prob_provider(
+    config: ExperimentConfig, layout: WorkLayout, mesh=None, **kwargs
+) -> Callable[[int, str], Dict[str, np.ndarray]]:
+    """ProbProvider for ensemble.evaluate: computes-and-caches on miss
+    (reference auto-compute at evaluate_ensemble.py:1161-1174)."""
+
+    def provider(t: int, subset: str) -> Dict[str, np.ndarray]:
+        path = cache_probabilities(config, layout, t, subset, mesh=mesh, **kwargs)
+        return load_probabilities(path)
+
+    return provider
+
+
+def min_val_losses_provider(
+    config: ExperimentConfig, layout: WorkLayout
+) -> Callable[[int], List[float]]:
+    """Per-member min val-loss reader for VALIDATION_ERROR_INVERSE
+    (reference get_modeltraining_validation_loss,
+    evaluate_ensemble.py:33-62)."""
+
+    def provider(t: int) -> List[float]:
+        out = []
+        for v in member_val_indices(config.folds_number, t):
+            losses = np.load(layout.history_path(config, t, v))
+            out.append(float(np.min(losses)))
+        return out
+
+    return provider

@@ -1,0 +1,158 @@
+"""End-to-end smoke (SURVEY.md §4f): synthetic 3-class video set →
+scene-stratified folds → split matrix → train 2 ensemble members (tiny C3D)
+→ probability cache → homogeneous fusion → reports.  All on CPU."""
+
+import os
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from crowded_scenes_ensemble_classification_tpu.core.config import (
+    ClipSpec,
+    ExperimentConfig,
+)
+from crowded_scenes_ensemble_classification_tpu.data import generate_synthetic_dataset
+from crowded_scenes_ensemble_classification_tpu.ensemble import (
+    evaluate_ensembles,
+    load_probabilities,
+)
+from crowded_scenes_ensemble_classification_tpu.models import C3D
+from crowded_scenes_ensemble_classification_tpu.models.registry import ModelBundle
+from crowded_scenes_ensemble_classification_tpu.orchestration import (
+    WorkLayout,
+    cache_probabilities,
+    member_cli_commands,
+    min_val_losses_provider,
+    prepare_ensemble,
+    train_member,
+)
+from crowded_scenes_ensemble_classification_tpu.reports import (
+    agreement_histogram,
+    confusion_matrix,
+    members_correct_per_clip,
+    render_agreement_pdf,
+    render_confusion_pdf,
+    row_normalize,
+)
+
+
+def tiny_bundle(num_classes=3):
+    return ModelBundle(
+        model_type="C3D",
+        module=C3D(num_classes=num_classes, width=0.125),
+        clip=ClipSpec(frames=16, height=32, width=32),
+        num_classes=num_classes,
+        two_stream=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data_dir = root / "data"
+    work_dir = root / "work"
+    df = generate_synthetic_dataset(
+        str(data_dir), num_scenes=9, clips_per_scene=3, num_classes=3,
+        num_frames=16, hw=(40, 40), as_videos=False,
+    )
+    config = ExperimentConfig(
+        model_type="C3D",
+        training_condition="_SCRATCH",
+        folds_number=3,
+        num_classes=3,
+        batch_size=6,
+        epochs=3,
+    )
+    layout = prepare_ensemble(config, df, str(work_dir))
+    return config, layout, df
+
+
+def test_prepare_creates_layout(workspace):
+    config, layout, df = workspace
+    folds_subdir = os.path.join(layout.folds_dir, "3_folds")
+    assert os.path.exists(os.path.join(folds_subdir, "fold2.csv"))
+    assert os.path.exists(layout.split_csv(0, 1, "train"))
+    assert os.path.exists(
+        os.path.join(layout.models_dir, config.subfolder_name(), "TestSplit0")
+    )
+    assert os.path.exists(os.path.join(layout.root, "manifest.json"))
+
+
+def test_member_cli_commands(workspace):
+    config, layout, _ = workspace
+    cmds = member_cli_commands(config, layout.root)
+    assert len(cmds) == 6  # 3 × 2
+    assert "--test-index 0 --val-index 1" in cmds[0]
+
+
+def test_train_members_and_ensemble(workspace, tmp_path):
+    config, layout, _ = workspace
+    bundle = tiny_bundle()
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=2e-3)
+
+    for v in (1, 2):
+        out = train_member(
+            config,
+            layout,
+            0,
+            v,
+            epochs=2,
+            bundle=bundle,
+            input_scale=1 / 255.0,
+            staging_hw=(40, 40),
+            num_workers=2,
+            optimizer=optax.inject_hyperparams(optax.adam)(learning_rate=2e-3),
+        )
+        assert np.isfinite(out["test_loss"])
+        assert os.path.exists(out["checkpoint_dir"])
+        assert os.path.exists(layout.history_path(config, 0, v))
+
+    # probability cache for test fold 0 (2 members)
+    path = cache_probabilities(
+        config, layout, 0, "test", bundle=bundle, staging_hw=(40, 40), num_workers=2
+    )
+    d = load_probabilities(path)
+    assert d["probs"].shape[0] == 2
+    assert d["probs"].shape[2] == 3
+    np.testing.assert_allclose(d["probs"].sum(-1), 1.0, atol=1e-4)
+
+    # cached: second call returns without recompute
+    assert cache_probabilities(
+        config, layout, 0, "test", bundle=bundle, staging_hw=(40, 40)
+    ) == path
+
+    # homogeneous fusion over fold 0 with SUM and VALIDATION_ERROR_INVERSE
+    def provider(t, subset):
+        return load_probabilities(
+            cache_probabilities(
+                config, layout, t, subset, bundle=bundle, staging_hw=(40, 40)
+            )
+        )
+
+    res_sum = evaluate_ensembles(provider, 1, "SUM", name=config.subfolder_name())
+    assert 0.0 <= res_sum.mean_accuracy <= 1.0
+    csv_path = res_sum.save_predictions_csv(layout.results_dir)
+    assert os.path.exists(csv_path)
+
+    res_vei = evaluate_ensembles(
+        provider,
+        1,
+        "VALIDATION_ERROR_INVERSE",
+        min_val_losses_provider=min_val_losses_provider(config, layout),
+    )
+    w = res_vei.folds[0].weights
+    assert len(w) == 2 and abs(float(np.sum(w)) - 1.0) < 1e-6
+
+    # reports from the cached tensors
+    cm = row_normalize(
+        confusion_matrix(d["labels"], res_sum.folds[0].predictions, 3)
+    )
+    pdf = render_confusion_pdf(cm, str(tmp_path / "cm.pdf"), title="fold 0")
+    assert os.path.exists(pdf)
+    counts = members_correct_per_clip(d["probs"], d["labels"])
+    hist = agreement_histogram(counts, n_members=2)
+    assert hist.sum() == len(d["labels"])
+    pdf2 = render_agreement_pdf([hist], str(tmp_path / "agree.pdf"), n_members=2)
+    assert os.path.exists(pdf2)
