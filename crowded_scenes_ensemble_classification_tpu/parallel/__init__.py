@@ -1,0 +1,21 @@
+from ..core.mesh import (  # noqa: F401
+    batch_sharding,
+    data_parallel_mesh,
+    ensemble_mesh,
+    make_mesh,
+    member_sharding,
+    replicated,
+    shard_batch,
+)
+from .distributed import (  # noqa: F401
+    initialize_distributed,
+    is_multi_process,
+    my_member_assignments,
+)
+from .streaming import (  # noqa: F401
+    extract_windows,
+    streaming_predict,
+    streaming_predict_batch,
+    window_starts,
+)
+from .temporal_halo import halo_conv3d, halo_exchange, time_sharded_conv_stack  # noqa: F401

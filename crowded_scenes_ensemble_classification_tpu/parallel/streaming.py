@@ -1,0 +1,86 @@
+"""Streaming long-video evaluation.
+
+The reference could only classify fixed 16/20-frame subsamples of a video
+(select_frames, train.py:132-145) — arbitrarily long videos were collapsed
+to one window.  This module scans overlapping windows over a long clip and
+averages the per-window softmax scores on device — the same fusion math the
+reference applies to per-clip softmax (ensemble_predictions tensordot,
+evaluate_ensemble.py:362-366), extended along time.
+
+Windows become the batch axis, so the scan parallelizes over the `data`
+mesh axis for free; combined with ensemble.members this gives
+members × windows fully-parallel long-video inference.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.registry import ModelBundle
+
+
+def window_starts(num_frames: int, window: int, stride: int) -> np.ndarray:
+    """Start indices covering the clip; the tail window is clamped so the
+    last frames are always seen."""
+    if num_frames <= window:
+        return np.zeros(1, np.int64)
+    starts = np.arange(0, num_frames - window + 1, stride)
+    if starts[-1] != num_frames - window:
+        starts = np.append(starts, num_frames - window)
+    return starts
+
+
+def extract_windows(clip: jax.Array, window: int, stride: int) -> jax.Array:
+    """(T, H, W, C) → (num_windows, window, H, W, C) gather."""
+    t = int(clip.shape[0])
+    starts = window_starts(t, window, stride)
+    idx = starts[:, None] + np.arange(window)[None, :]
+    idx = np.minimum(idx, t - 1)
+    return jnp.take(clip, jnp.asarray(idx.reshape(-1)), axis=0).reshape(
+        (len(starts), window) + clip.shape[1:]
+    )
+
+
+def streaming_predict(
+    bundle: ModelBundle,
+    variables: Dict,
+    clip: jax.Array,
+    stride: Optional[int] = None,
+    input_scale: float = 1.0,
+) -> jax.Array:
+    """Average softmax over all windows of one long clip → (C,) scores.
+
+    clip must already be at model spatial resolution; window length is the
+    model's canonical frame count."""
+    window = bundle.clip.frames
+    stride = stride or window // 2
+    wins = extract_windows(clip.astype(jnp.float32) * input_scale, window, stride)
+    logits = bundle.apply(variables, {"rgb": wins}, train=False)
+    return jnp.mean(jax.nn.softmax(logits, axis=-1), axis=0)
+
+
+def streaming_predict_batch(
+    bundle: ModelBundle,
+    variables: Dict,
+    clips: jax.Array,
+    stride: Optional[int] = None,
+    input_scale: float = 1.0,
+) -> jax.Array:
+    """(B, T, H, W, C) long clips → (B, C) averaged scores.  Windows of all
+    clips are flattened into one big batch (MXU-friendly) and re-averaged."""
+    window = bundle.clip.frames
+    stride = stride or window // 2
+    b, t = int(clips.shape[0]), int(clips.shape[1])
+    n_win = len(window_starts(t, window, stride))
+
+    wins = jax.vmap(lambda c: extract_windows(c, window, stride))(
+        clips.astype(jnp.float32) * input_scale
+    )  # (B, W, window, H, Wd, C)
+    flat = wins.reshape((b * n_win,) + wins.shape[2:])
+    logits = bundle.apply(variables, {"rgb": flat}, train=False)
+    probs = jax.nn.softmax(logits, axis=-1).reshape(b, n_win, -1)
+    return jnp.mean(probs, axis=1)

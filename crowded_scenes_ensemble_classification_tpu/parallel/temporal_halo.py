@@ -1,0 +1,115 @@
+"""Temporal (frame-axis) sharding with halo exchange.
+
+The reference has no long-sequence capability: every clip is subsampled to a
+16/20-frame window that always fits one device (select_frames,
+train.py:132-145).  The honest "context parallel" analogue for 3D CNNs
+(SURVEY.md §5) is sharding the TIME axis of a long clip across the mesh:
+each device holds T/n frames and, before every temporal conv, exchanges
+(kernel_t−1)/2 boundary frames with its neighbors over ICI (ppermute) so
+the conv's receptive field is seamless — the sharded stack is numerically
+identical to the unsharded one.
+
+All reference kernels have temporal extent ≤ 7 (stem 7×7×7 train.py:1026,
+C3D/R3D 3³ train.py:1230-1258, R3D stem 7 train.py:1483), so halos are tiny
+relative to ICI bandwidth.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def halo_exchange(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
+    """Inside shard_map: pad the local time axis (axis 1 of NTHWC) with
+    `halo` frames received from the left/right neighbor over ICI.
+
+    Edge devices zero-pad on their outer side — matching 'SAME' conv
+    padding of the unsharded tensor."""
+    if halo == 0:
+        return x
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+
+    send_right = [(i, (i + 1) % n) for i in range(n)]
+    send_left = [(i, (i - 1) % n) for i in range(n)]
+
+    # receive my left neighbor's last `halo` frames / right's first `halo`
+    from_left = lax.ppermute(x[:, -halo:], axis_name, send_right)
+    from_right = lax.ppermute(x[:, :halo], axis_name, send_left)
+
+    zeros = jnp.zeros_like(from_left)
+    from_left = jnp.where(idx == 0, zeros, from_left)
+    from_right = jnp.where(idx == n - 1, jnp.zeros_like(from_right), from_right)
+    return jnp.concatenate([from_left, x, from_right], axis=1)
+
+
+def halo_conv3d(
+    x: jax.Array,
+    kernel: jax.Array,
+    strides: Tuple[int, int, int],
+    axis_name: str,
+) -> jax.Array:
+    """One 'SAME'-padded conv3d on a time-sharded NTHWC tensor, inside
+    shard_map.  Temporal stride must divide the local shard length.
+
+    Equivalent to lax.conv on the gathered tensor: temporal padding is
+    supplied by the halo exchange (interior) or zeros (edges); spatial
+    dims use ordinary SAME padding."""
+    kt = int(kernel.shape[0])
+    halo = (kt - 1) // 2
+    xp = halo_exchange(x, halo, axis_name)
+    # temporal VALID over the halo-padded axis == SAME over the gathered axis
+    pads = [(0, 0)] + _same_pads(kernel.shape[1:3], x.shape[2:4], strides[1:])
+    return lax.conv_general_dilated(
+        xp,
+        kernel,
+        window_strides=strides,
+        padding=pads,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def _same_pads(kernel_hw, in_hw, strides_hw):
+    """TF-SAME padding amounts for the spatial dims."""
+    pads = []
+    for k, n, s in zip(kernel_hw, in_hw, strides_hw):
+        out = -(-n // s)
+        total = max((out - 1) * s + k - n, 0)
+        pads.append((total // 2, total - total // 2))
+    return pads
+
+
+def time_sharded_conv_stack(
+    mesh: Mesh,
+    kernels: Sequence[jax.Array],
+    time_axis: str = "time",
+) -> Callable[[jax.Array], jax.Array]:
+    """Build fn(x) applying a ReLU-separated stack of stride-1 SAME conv3d
+    layers with the time axis of x sharded over `time_axis`.  Demonstrates
+    the halo-exchange pattern end-to-end; numerically identical to the
+    unsharded stack (tests/test_parallel.py)."""
+    try:
+        from jax import shard_map  # jax ≥ 0.7 public API
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    def local_stack(x):
+        for k in kernels:
+            x = halo_conv3d(x, k, (1, 1, 1), time_axis)
+            x = jax.nn.relu(x)
+        return x
+
+    sharded = shard_map(
+        local_stack,
+        mesh=mesh,
+        in_specs=P(None, time_axis),
+        out_specs=P(None, time_axis),
+    )
+    return jax.jit(sharded)

@@ -227,6 +227,7 @@ def fit(
     verbose: bool = False,
     input_scale: float = 1.0,
     optimizer: Optional[optax.GradientTransformation] = None,
+    metrics=None,
 ) -> Dict[str, Any]:
     """Epoch loop with the reference's callback semantics.  Returns
     {'history': {...}, 'state': final TrainState, 'best_val_loss': float}.
@@ -296,6 +297,17 @@ def fit(
             print(
                 f"epoch {epoch}: loss {epoch_loss:.4f} acc {epoch_acc:.3f} "
                 f"val_loss {val['loss']:.4f} val_acc {val['accuracy']:.3f} lr {lr:.2e}"
+            )
+        if metrics is not None:
+            metrics.log(
+                "epoch",
+                epoch=epoch,
+                loss=epoch_loss,
+                accuracy=epoch_acc,
+                val_loss=val["loss"],
+                val_accuracy=val["accuracy"],
+                lr=lr,
+                model_type=bundle.model_type,
             )
 
         if val["loss"] < best_val:  # best-only checkpoint (train.py:1850-1853)

@@ -1,0 +1,82 @@
+"""Native clip-cache tests: C++ build, round-trip, threaded batch reads,
+pipeline integration."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from crowded_scenes_ensemble_classification_tpu.data.clip_cache import (
+    CachingClipSource,
+    ClipCacheReader,
+    ClipCacheWriter,
+    cache_path_for,
+)
+
+
+@pytest.fixture(scope="module")
+def cache_file(tmp_path_factory, ):
+    rng = np.random.default_rng(0)
+    path = str(tmp_path_factory.mktemp("cc") / "clips.ccache")
+    w = ClipCacheWriter(path)
+    clips = []
+    for i in range(10):
+        clip = rng.integers(0, 256, (6, 16, 16, 3)).astype(np.uint8)
+        clips.append(clip)
+        w.add(f"clip{i}", clip, label=i % 3)
+    w.finish()
+    return path, clips
+
+
+def test_roundtrip(cache_file):
+    path, clips = cache_file
+    r = ClipCacheReader(path)
+    assert len(r) == 10
+    for i in (0, 5, 9):
+        clip, label = r.read(i)
+        np.testing.assert_array_equal(clip, clips[i])
+        assert label == i % 3
+    shape, label = r.shape(3)
+    assert shape == (6, 16, 16, 3) and label == 0
+    assert r.keys["clip7"] == 7
+    r.close()
+
+
+def test_threaded_batch_read(cache_file):
+    path, clips = cache_file
+    r = ClipCacheReader(path)
+    idx = [9, 0, 4, 4, 2]
+    batch, labels = r.read_batch(idx, num_threads=4)
+    assert batch.shape == (5, 6, 16, 16, 3)
+    for j, i in enumerate(idx):
+        np.testing.assert_array_equal(batch[j], clips[i])
+        assert labels[j] == i % 3
+    r.close()
+
+
+def test_caching_source_populate_and_read(tmp_path):
+    rng = np.random.default_rng(1)
+    clips = [rng.integers(0, 256, (4, 8, 8, 3)).astype(np.uint8) for _ in range(5)]
+    df = pd.DataFrame({"rgbclips_path": [f"p{i}" for i in range(5)], "class": range(5)})
+    calls = {"n": 0}
+
+    def source(row):
+        calls["n"] += 1
+        i = int(row.name)
+        return {"rgb": clips[i], "label": np.int32(row["class"])}
+
+    path = cache_path_for("test", str(tmp_path))
+    cs = CachingClipSource(source, df, path)
+    assert not cs.ready
+    # pre-populate pass decodes each clip once
+    cs.populate()
+    assert cs.ready and calls["n"] == 5
+    # reads now come from the native cache, not the source
+    out = cs(df.iloc[2])
+    assert calls["n"] == 5
+    np.testing.assert_array_equal(out["rgb"], clips[2])
+    assert int(out["label"]) == 2
+    # reopening sees the cache immediately
+    cs2 = CachingClipSource(source, df, path)
+    assert cs2.ready

@@ -1,0 +1,88 @@
+"""Parallelism tests on the 8-device virtual CPU mesh: temporal halo
+exchange equals the unsharded oracle; streaming long-video eval; member
+assignment round-robin."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from crowded_scenes_ensemble_classification_tpu.core.config import ClipSpec
+from crowded_scenes_ensemble_classification_tpu.core.mesh import make_mesh
+from crowded_scenes_ensemble_classification_tpu.models import C3D
+from crowded_scenes_ensemble_classification_tpu.models.registry import ModelBundle
+from crowded_scenes_ensemble_classification_tpu.parallel import (
+    extract_windows,
+    my_member_assignments,
+    streaming_predict,
+    streaming_predict_batch,
+    time_sharded_conv_stack,
+    window_starts,
+)
+
+
+def _reference_stack(x, kernels):
+    for k in kernels:
+        x = lax.conv_general_dilated(
+            x, k, (1, 1, 1), "SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC")
+        )
+        x = jax.nn.relu(x)
+    return x
+
+
+@pytest.mark.parametrize("kt", [3, 5, 7])
+def test_time_sharded_conv_matches_unsharded(kt):
+    """Halo-exchanged sharded conv stack == unsharded SAME conv stack
+    (all reference temporal kernels are ≤7: train.py:1026,1230,1483)."""
+    mesh = make_mesh((("time", 8),))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 32, 8, 8, 4)), jnp.float32)
+    kernels = [
+        jnp.asarray(rng.normal(size=(kt, 3, 3, 4, 4)) * 0.2, jnp.float32),
+        jnp.asarray(rng.normal(size=(3, 3, 3, 4, 4)) * 0.2, jnp.float32),
+    ]
+    sharded_fn = time_sharded_conv_stack(mesh, kernels, "time")
+    got = np.asarray(sharded_fn(x))
+    want = np.asarray(_reference_stack(x, kernels))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_window_starts_cover_tail():
+    s = window_starts(50, 16, 8)
+    assert s[0] == 0 and s[-1] == 34
+    assert window_starts(10, 16, 8).tolist() == [0]
+
+
+def test_extract_windows_shapes(rng):
+    clip = jnp.asarray(rng.normal(size=(40, 8, 8, 3)), jnp.float32)
+    wins = extract_windows(clip, 16, 8)
+    assert wins.shape == (4, 16, 8, 8, 3)
+    np.testing.assert_array_equal(np.asarray(wins[0]), np.asarray(clip[:16]))
+
+
+def test_streaming_predict_long_video(rng):
+    bundle = ModelBundle(
+        model_type="C3D",
+        module=C3D(num_classes=3, width=0.125),
+        clip=ClipSpec(frames=16, height=32, width=32),
+        num_classes=3,
+        two_stream=False,
+    )
+    variables = bundle.init(jax.random.key(0))
+    long_clip = jnp.asarray(rng.integers(0, 255, (48, 32, 32, 3)), jnp.float32)
+    scores = streaming_predict(bundle, variables, long_clip, input_scale=1 / 255.0)
+    assert scores.shape == (3,)
+    np.testing.assert_allclose(float(scores.sum()), 1.0, rtol=1e-5)
+
+    batch = jnp.stack([long_clip, long_clip * 0.5])
+    scores_b = streaming_predict_batch(
+        bundle, variables, batch, input_scale=1 / 255.0
+    )
+    assert scores_b.shape == (2, 3)
+    np.testing.assert_allclose(np.asarray(scores_b[0]), np.asarray(scores), atol=1e-5)
+
+
+def test_member_assignment_single_process():
+    pairs = my_member_assignments(5)
+    assert len(pairs) == 20  # single process gets all k·(k−1)
