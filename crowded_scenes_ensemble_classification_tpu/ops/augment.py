@@ -45,11 +45,13 @@ def crowd11_augment(
     p: float = 0.75,
     crop_margin: int = CROP_MARGIN,
     noise_ratio: int = NOISE_RATIO,
+    apply_noise: bool = True,
 ) -> jax.Array:
     """Augment one (T, H, W, C) float clip → (T, out_h, out_w, C).
 
     All four Bernoulli gates and the crop offset are derived from `key`;
-    the output shape is static.
+    the output shape is static.  apply_noise=False skips the salt/pepper
+    tail (used when the batched Pallas noise kernel runs instead).
     """
     t, h, w, c = clip.shape
     k_crop_gate, k_crop_pos, k_flip, k_salt_gate, k_salt, k_pep_gate, k_pep = (
@@ -78,13 +80,14 @@ def crowd11_augment(
         flip_x=do_flip,
     )
 
-    do_salt = jax.random.bernoulli(k_salt_gate, p)
-    salt_hits = jax.random.randint(k_salt, out.shape, 0, noise_ratio) == 0
-    out = jnp.where(do_salt & salt_hits, 255.0, out)
+    if apply_noise:
+        do_salt = jax.random.bernoulli(k_salt_gate, p)
+        salt_hits = jax.random.randint(k_salt, out.shape, 0, noise_ratio) == 0
+        out = jnp.where(do_salt & salt_hits, 255.0, out)
 
-    do_pepper = jax.random.bernoulli(k_pep_gate, p)
-    pepper_hits = jax.random.randint(k_pep, out.shape, 0, noise_ratio) == 0
-    out = jnp.where(do_pepper & pepper_hits, 0.0, out)
+        do_pepper = jax.random.bernoulli(k_pep_gate, p)
+        pepper_hits = jax.random.randint(k_pep, out.shape, 0, noise_ratio) == 0
+        out = jnp.where(do_pepper & pepper_hits, 0.0, out)
     return out
 
 
@@ -93,10 +96,23 @@ def crowd11_augment_batch(
     key: jax.Array,
     out_hw: Tuple[int, int],
     p: float = 0.75,
+    noise_impl: str = "xla",
 ) -> jax.Array:
     """vmapped policy over a batch (B, T, H, W, C) with independent
-    per-sample keys."""
+    per-sample keys.
+
+    noise_impl='pallas' runs the salt/pepper tail as the fused Pallas
+    kernel (ops.pallas.noise) — one HBM pass with on-core PRNG instead of
+    materialized randint tensors; 'xla' is the pure-XLA path (default —
+    portable to CPU tests)."""
     keys = jax.random.split(key, clips.shape[0])
+    if noise_impl == "pallas":
+        out = jax.vmap(
+            lambda c, k: crowd11_augment(c, k, out_hw, p, apply_noise=False)
+        )(clips, keys)
+        from .pallas.noise import crowd11_noise_pallas
+
+        return crowd11_noise_pallas(out, jax.random.fold_in(key, 1), p)
     return jax.vmap(lambda c, k: crowd11_augment(c, k, out_hw, p))(clips, keys)
 
 

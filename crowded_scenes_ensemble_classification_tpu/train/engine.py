@@ -227,7 +227,7 @@ def fit(
     verbose: bool = False,
     input_scale: float = 1.0,
     optimizer: Optional[optax.GradientTransformation] = None,
-    metrics=None,
+    metrics_logger=None,
 ) -> Dict[str, Any]:
     """Epoch loop with the reference's callback semantics.  Returns
     {'history': {...}, 'state': final TrainState, 'best_val_loss': float}.
@@ -298,8 +298,8 @@ def fit(
                 f"epoch {epoch}: loss {epoch_loss:.4f} acc {epoch_acc:.3f} "
                 f"val_loss {val['loss']:.4f} val_acc {val['accuracy']:.3f} lr {lr:.2e}"
             )
-        if metrics is not None:
-            metrics.log(
+        if metrics_logger is not None:
+            metrics_logger.log(
                 "epoch",
                 epoch=epoch,
                 loss=epoch_loss,

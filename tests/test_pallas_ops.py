@@ -1,0 +1,96 @@
+"""Pallas kernel tests.
+
+CPU CI runs the kernels in TPU-interpret mode, where prng_random_bits
+returns zeros — so CPU tests cover shape/gating/passthrough logic, and the
+stochastic-density checks only run when a real TPU is attached (bench runs
+exercise them in production)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ON_TPU = jax.devices()[0].platform == "tpu"
+
+
+def _run(clips, seed, salt_gates, pepper_gates, ratio=100, interpret=True):
+    from crowded_scenes_ensemble_classification_tpu.ops.pallas import noise as N
+
+    if not interpret:
+        return N.salt_pepper_pallas(clips, seed, salt_gates, pepper_gates, ratio)
+
+    b = clips.shape[0]
+    flat = clips.reshape(b, -1)
+    l = flat.shape[1]
+    lanes = 512
+    pad = (-l) % lanes
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+    rows = flat.shape[1] // lanes
+    x3 = flat.reshape(b, rows, lanes)
+    row_block = min(128, rows) if rows % 8 == 0 or rows >= 128 else rows
+    threshold = max(int(65536 // ratio), 1)
+    gates = jnp.stack(
+        [salt_gates.astype(jnp.int32), pepper_gates.astype(jnp.int32)], axis=-1
+    )
+    out = pl.pallas_call(
+        functools.partial(N._noise_kernel, threshold=threshold),
+        out_shape=jax.ShapeDtypeStruct(x3.shape, x3.dtype),
+        grid=(b, pl.cdiv(rows, row_block)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, row_block, lanes), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, row_block, lanes), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=pltpu.InterpretParams(),
+    )(jnp.asarray(seed, jnp.int32).reshape(1), gates, x3)
+    out = out.reshape(b, -1)
+    if pad:
+        out = out[:, :l]
+    return out.reshape(clips.shape)
+
+
+def test_gates_off_is_identity():
+    """With both gates off the kernel must pass data through unchanged —
+    independent of what the PRNG emits."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 255, (2, 4, 32, 32, 3)), jnp.float32)
+    off = jnp.asarray([False, False])
+    out = np.asarray(_run(x, 7, off, off))
+    np.testing.assert_array_equal(out, np.asarray(x))
+
+
+def test_per_clip_gating_interpret():
+    """Interpret-mode PRNG yields all-zero bits → every element 'hits';
+    that degenerate case exactly exposes the gating logic."""
+    x = jnp.full((3, 2, 16, 16, 1), 128.0, jnp.float32)
+    out = np.asarray(
+        _run(x, 0, jnp.asarray([True, False, False]), jnp.asarray([False, True, False]))
+    )
+    assert (out[0] == 255.0).all()  # salt gate on, all bits hit
+    assert (out[1] == 0.0).all()  # pepper gate on
+    assert (out[2] == 128.0).all()  # both off
+
+
+def test_nondivisible_length_padding():
+    x = jnp.full((2, 5, 7, 7, 3), 50.0, jnp.float32)  # 735 elements/clip
+    off = jnp.asarray([False, False])
+    out = np.asarray(_run(x, 1, off, off, ratio=10))
+    assert out.shape == x.shape
+    np.testing.assert_array_equal(out, np.asarray(x))
+
+
+@pytest.mark.skipif(not ON_TPU, reason="real PRNG requires TPU")
+def test_noise_density_on_tpu():
+    x = jnp.full((2, 4, 64, 64, 3), 128.0, jnp.float32)
+    on = jnp.asarray([True, True])
+    out = np.asarray(_run(x, 7, on, on, interpret=False))
+    assert 0.005 < (out == 255.0).mean() < 0.016
+    assert 0.005 < (out == 0.0).mean() < 0.016
