@@ -31,7 +31,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 import pandas as pd
 
-from .video_io import decode_clip, decode_flow_pair
+from .video_io import decode_clip, decode_flow_pair, decode_twostream_staging
 
 
 def expand_precomputed_augmentation(
@@ -93,19 +93,25 @@ class ClipSource:
 
     def __call__(self, row) -> Dict[str, np.ndarray]:
         s = self.spec
+        if s.two_stream and not s.flow_precomputed:
+            # one decode pass stages rgb + the gray frame pairs the device
+            # Farneback kernel consumes (video_io.decode_twostream_staging)
+            staged = decode_twostream_staging(
+                row["rgbclips_path"], s.num_frames, s.staging_hw
+            )
+            staged["label"] = np.int32(row["class"])
+            return staged
         out: Dict[str, np.ndarray] = {
             "rgb": _load_array(row["rgbclips_path"], s.num_frames, s.staging_hw),
             "label": np.int32(row["class"]),
         }
         if s.two_stream:
-            if s.flow_precomputed:
-                out["flow"] = decode_flow_pair(
-                    row["x_axis_flowclips_path"],
-                    row["y_axis_flowclips_path"],
-                    s.num_frames,
-                    s.staging_hw,
-                )
-            # else: device-side Farneback consumes the rgb staging frames.
+            out["flow"] = decode_flow_pair(
+                row["x_axis_flowclips_path"],
+                row["y_axis_flowclips_path"],
+                s.num_frames,
+                s.staging_hw,
+            )
         return out
 
 

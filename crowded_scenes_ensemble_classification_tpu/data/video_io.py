@@ -116,6 +116,81 @@ def _stage_frame(frame: np.ndarray, staging_hw, gray: bool) -> np.ndarray:
     return np.ascontiguousarray(frame)
 
 
+def decode_twostream_staging(
+    path: str,
+    num_frames: int,
+    staging_hw: Optional[Tuple[int, int]] = None,
+):
+    """ONE decode pass producing what the on-device Farnebäck path needs:
+    rgb at the selected indices plus gray at (selected, selected+1) frame
+    pairs — so the device computes exactly the reference's per-consecutive-
+    pair flow maps at the selected indices (train.py:294-332 computed flow
+    for every pair then stride-selected, train.py:231).
+
+    Returns dict(rgb (T,H,W,3), gray (T,H,W,1), gray_next (T,H,W,1)),
+    all uint8."""
+    _require_cv2()
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        cap.open(path)
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    if total <= 0:
+        # decode everything, select after
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame)
+        cap.release()
+        if not frames:
+            raise IOError(f"could not decode any frames from {path}")
+        total = len(frames)
+        sel = select_frame_indices(total, num_frames)
+        nxt = np.minimum(sel + 1, total - 1)
+        rgb = np.stack([_stage_frame(frames[i], staging_hw, False) for i in sel])
+        gray = np.stack([_stage_frame(frames[i], staging_hw, True) for i in sel])
+        gray_next = np.stack(
+            [_stage_frame(frames[i], staging_hw, True) for i in nxt]
+        )
+        return {"rgb": rgb, "gray": gray, "gray_next": gray_next}
+
+    sel = select_frame_indices(total, num_frames)
+    nxt = np.minimum(sel + 1, total - 1)
+    wanted = sorted(set(int(i) for i in sel) | set(int(i) for i in nxt))
+    staged_rgb: dict = {}
+    staged_gray: dict = {}
+    wanted_set = set(wanted)
+    idx = 0
+    last = wanted[-1]
+    while idx <= last:
+        if idx in wanted_set:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            staged_rgb[idx] = _stage_frame(frame, staging_hw, False)
+            staged_gray[idx] = _stage_frame(frame, staging_hw, True)
+        else:
+            if not cap.grab():
+                break
+        idx += 1
+    cap.release()
+    if not staged_rgb:
+        raise IOError(f"could not decode any frames from {path}")
+
+    def fetch(table, i):
+        # fall back to the closest decoded frame if the container lied
+        if i in table:
+            return table[i]
+        keys = sorted(table)
+        return table[min(keys, key=lambda k: abs(k - i))]
+
+    rgb = np.stack([fetch(staged_rgb, int(i)) for i in sel])
+    gray = np.stack([fetch(staged_gray, int(i)) for i in sel])
+    gray_next = np.stack([fetch(staged_gray, int(i)) for i in nxt])
+    return {"rgb": rgb, "gray": gray, "gray_next": gray_next}
+
+
 def decode_flow_pair(
     x_path: str,
     y_path: str,

@@ -50,9 +50,19 @@ def make_member_forward(
     def forward(stacked_vars, batch):
         inputs = {"rgb": identity_resize_batch(batch["rgb"].astype(jnp.float32), out_hw)}
         if two_stream:
-            inputs["flow"] = identity_resize_batch(
-                batch["flow"].astype(jnp.float32), out_hw
-            )
+            if "flow" in batch:
+                inputs["flow"] = identity_resize_batch(
+                    batch["flow"].astype(jnp.float32), out_hw
+                )
+            else:
+                # on-device Farneback from staged gray pairs (see
+                # train.engine._preprocess for the convention)
+                from ..flow.farneback import farneback_flow_pair
+
+                gray = batch["gray"].astype(jnp.float32)[..., 0]
+                gray_next = batch["gray_next"].astype(jnp.float32)[..., 0]
+                flows = jax.vmap(jax.vmap(farneback_flow_pair))(gray, gray_next)
+                inputs["flow"] = identity_resize_batch(flows, out_hw)
 
         def one_member(variables):
             logits = bundle.apply(variables, inputs, train=False)
@@ -64,12 +74,20 @@ def make_member_forward(
         member = NamedSharding(mesh, P(member_axis))
         data = NamedSharding(mesh, P(None, data_axis))  # probs (M, B, C)
         batch_in = NamedSharding(mesh, P(data_axis))
-        batch_shardings = {k: batch_in for k in ("rgb", "label", "valid", "index")}
-        if two_stream:
-            batch_shardings["flow"] = batch_in
-        return jax.jit(
-            forward, in_shardings=(member, batch_shardings), out_shardings=data
-        )
+
+        def forward_sharded(stacked_vars, batch):
+            stacked_vars = jax.lax.with_sharding_constraint(
+                stacked_vars, member
+            )
+            batch = {
+                k: jax.lax.with_sharding_constraint(v, batch_in)
+                for k, v in batch.items()
+            }
+            return jax.lax.with_sharding_constraint(
+                forward(stacked_vars, batch), data
+            )
+
+        return jax.jit(forward_sharded)
     return jax.jit(forward)
 
 

@@ -1,0 +1,84 @@
+"""Pretrained-checkpoint wiring: the `train_load_model` /
+`evaluate_load_model` factory semantics (reference train.py:1619-1772).
+
+Reference behaviour per family:
+- C3D _PRETRAINED: build with 487 classes, load sports1M h5, pop the softmax
+  and attach a fresh Dense head (train.py:1672-1678),
+- I3D _PRETRAINED: load a Kinetics/ImageNet h5 into the trunk, fresh
+  Flatten+Dense head (train.py:1633-1652; downloads at :808 — here the h5
+  must be a local file: this environment has no network),
+- TWOSTREAM_I3D _PRETRAINED: one h5 per stream into the two trunks, fresh
+  fusion Dense (train.py:989-1009),
+- R3D_*: always from scratch (train.py:1683-1707) — requesting _PRETRAINED
+  returns fresh init with a warning-free no-op, matching reference behaviour
+  of having no pretrained path for R3D.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+
+from ..core.config import ExperimentConfig
+from . import weights_io as wio
+from .registry import ModelBundle, build_model
+
+
+def load_pretrained_variables(
+    model_type: str,
+    fresh_variables: Dict,
+    num_classes: int,
+    rgb_h5: Optional[str] = None,
+    flow_h5: Optional[str] = None,
+) -> Dict:
+    """Overlay pretrained weights from Keras h5 files onto fresh init."""
+    if model_type == "C3D":
+        if rgb_h5 is None:
+            raise ValueError("C3D _PRETRAINED needs the sports1M h5 path")
+        layers = wio.read_keras_h5(rgb_h5)
+        converted = wio.c3d_variables_from_keras(
+            layers,
+            num_classes=num_classes,
+            head_init=fresh_variables["params"]["fc8"]["kernel"],
+            head_bias=fresh_variables["params"]["fc8"]["bias"],
+        )
+        return wio.merge_pretrained(fresh_variables, converted)
+    if model_type == "I3D":
+        if rgb_h5 is None:
+            raise ValueError("I3D _PRETRAINED needs a Kinetics h5 path")
+        converted = wio.i3d_variables_from_keras(
+            wio.read_keras_h5(rgb_h5), stream="rgb", num_classes=num_classes
+        )
+        return wio.merge_pretrained(fresh_variables, converted)
+    if model_type == "TWOSTREAM_I3D":
+        if rgb_h5 is None or flow_h5 is None:
+            raise ValueError("TWOSTREAM_I3D _PRETRAINED needs rgb and flow h5 paths")
+        converted = wio.twostream_variables_from_keras(
+            wio.read_keras_h5(rgb_h5), wio.read_keras_h5(flow_h5)
+        )
+        return wio.merge_pretrained(fresh_variables, converted)
+    # R3D family: no pretrained path exists in the reference
+    return fresh_variables
+
+
+def build_with_condition(
+    config: ExperimentConfig,
+    seed: int = 0,
+    rgb_h5: Optional[str] = None,
+    flow_h5: Optional[str] = None,
+    dtype=None,
+):
+    """(bundle, variables) honouring training_condition — the
+    train_load_model dispatch (train.py:1619-1710)."""
+    import jax.numpy as jnp
+
+    bundle = build_model(
+        config.model_type, config.num_classes, dtype=dtype or jnp.float32
+    )
+    variables = bundle.init(jax.random.key(seed))
+    if config.training_condition == "_PRETRAINED":
+        variables = load_pretrained_variables(
+            config.model_type, variables, config.num_classes, rgb_h5, flow_h5
+        )
+    return bundle, variables

@@ -371,3 +371,70 @@ def min_val_losses_provider(
         return out
 
     return provider
+
+
+# ----------------------------------------------------------------------
+# Global (heterogeneous) ensemble config resolution
+# ----------------------------------------------------------------------
+
+# The reference's SPECIALCASE alias: the one model that benefitted from data
+# augmentation — TwoStream-I3D pretrained, Farneback on the fly, augmented
+# ×3 (createModelsTrainingConditionsDictionary evaluate_ensemble.py:155-177,
+# alias expansion :1365-1386).
+SPECIALCASE_CONFIG = dict(
+    model_type="TWOSTREAM_I3D",
+    training_condition="_PRETRAINED",
+    optical_flow_status="FarneBack_onTheFly",
+    augmentation_status="augmented_precomputed",
+    augmentation_frequency=3,
+    classes_status="unbalanced",
+)
+
+
+def parse_global_model_specs(
+    specs: Sequence[str],
+    folds_number: int = 5,
+    num_classes: int = 11,
+    base: Optional[ExperimentConfig] = None,
+) -> Dict[str, ExperimentConfig]:
+    """'{MODEL}{_COND}' strings (reference launch_evaluate_ensemble.sh:23)
+    → named ExperimentConfigs; SPECIALCASE_* expands to the augmented
+    TwoStream run."""
+    base = base or ExperimentConfig(folds_number=folds_number, num_classes=num_classes)
+    out: Dict[str, ExperimentConfig] = {}
+    for spec in specs:
+        if spec.startswith("SPECIALCASE"):
+            cfg = dataclasses.replace(
+                base,
+                **SPECIALCASE_CONFIG,
+            )
+            out[spec] = cfg
+            continue
+        for cond in ("_PRETRAINED", "_SCRATCH"):
+            if spec.endswith(cond):
+                model_type = spec[: -len(cond)]
+                out[spec] = dataclasses.replace(
+                    base, model_type=model_type, training_condition=cond
+                )
+                break
+        else:
+            raise ValueError(f"cannot parse model spec {spec!r}")
+    return out
+
+
+def global_prob_providers(
+    specs: Sequence[str],
+    work_dir: str,
+    folds_number: int = 5,
+    num_classes: int = 11,
+    mesh=None,
+    **kwargs,
+) -> Dict[str, Callable]:
+    """Named ProbProviders for global/combination evaluation over multiple
+    architecture configs sharing one workspace."""
+    layout = WorkLayout(work_dir)
+    configs = parse_global_model_specs(specs, folds_number, num_classes)
+    return {
+        name: make_prob_provider(cfg, layout, mesh=mesh, **kwargs)
+        for name, cfg in configs.items()
+    }

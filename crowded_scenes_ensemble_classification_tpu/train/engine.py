@@ -59,12 +59,25 @@ def _preprocess(
         rgb = identity_resize_batch(rgb, out_hw)
     out = {"rgb": rgb * input_scale}
     if two_stream:
-        # Flow is never augmented in the reference TVL1 path
-        # (train.py:195-221): plain resize only.
-        out["flow"] = (
-            identity_resize_batch(batch["flow"].astype(jnp.float32), out_hw)
-            * input_scale
-        )
+        if "flow" in batch:
+            # Precomputed TV-L1 flow: never augmented in the reference
+            # (train.py:195-221); plain resize only.  input_scale applies —
+            # the u8 quantized flow rides the same raw-pixel convention.
+            flow = identity_resize_batch(batch["flow"].astype(jnp.float32), out_hw)
+            out["flow"] = flow * input_scale
+        else:
+            # On-device Farneback from the staged gray frame pairs —
+            # the FarneBack_onTheFly mode (train.py:223-239) with the cv2
+            # host loop replaced by the flow.farneback kernel.  Flow maps
+            # are resized spatially only (values in source-pixel units,
+            # like cv2.resize on flow frames at train.py:236-238); no
+            # input_scale (flow is not 0-255 imagery).
+            from ..flow.farneback import farneback_flow_pair
+
+            gray = batch["gray"].astype(jnp.float32)[..., 0]
+            gray_next = batch["gray_next"].astype(jnp.float32)[..., 0]
+            flows = jax.vmap(jax.vmap(farneback_flow_pair))(gray, gray_next)
+            out["flow"] = identity_resize_batch(flows, out_hw)
     return out
 
 
@@ -129,14 +142,14 @@ def make_train_step(
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(data_axis))
-        batch_shardings = {k: data for k in ("rgb", "label", "valid", "index")}
-        if two_stream:
-            batch_shardings["flow"] = data
-        return jax.jit(
-            train_step,
-            in_shardings=(repl, batch_shardings, repl),
-            donate_argnums=(0,),
-        )
+        def train_step_sharded(state, batch, class_weights):
+            batch = {
+                k: jax.lax.with_sharding_constraint(v, data)
+                for k, v in batch.items()
+            }
+            return train_step(state, batch, class_weights)
+
+        return jax.jit(train_step_sharded, donate_argnums=(0,))
     return jax.jit(train_step, donate_argnums=(0,))
 
 
@@ -168,10 +181,14 @@ def make_eval_step(
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(data_axis))
-        batch_shardings = {k: data for k in ("rgb", "label", "valid", "index")}
-        if two_stream:
-            batch_shardings["flow"] = data
-        return jax.jit(eval_step, in_shardings=(repl, batch_shardings))
+        def eval_step_sharded(variables, batch):
+            batch = {
+                k: jax.lax.with_sharding_constraint(v, data)
+                for k, v in batch.items()
+            }
+            return eval_step(variables, batch)
+
+        return jax.jit(eval_step_sharded)
     return jax.jit(eval_step)
 
 
