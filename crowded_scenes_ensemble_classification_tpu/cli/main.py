@@ -127,6 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--weights-type", "-wt", choices=WEIGHTING_SCHEMES, default="SUM")
     p.add_argument("--de-seed", type=int, default=None)
+    p.add_argument(
+        "--models", "-ml", nargs="*", default=None,
+        help="model specs for global/combine ops, e.g. C3D_SCRATCH "
+             "I3D_PRETRAINED SPECIALCASE_PRETRAINED (reference "
+             "launch_evaluate_ensemble.sh:23)",
+    )
 
     p = sub.add_parser("report", help="confusion/difference/agreement reports")
     _add_config_flags(p)
@@ -263,7 +269,15 @@ def main(argv=None) -> int:
             if wpath:
                 print(wpath)
         else:
-            providers = {config.subfolder_name(): provider}
+            if args.models:
+                from ..orchestration import global_prob_providers
+
+                providers = global_prob_providers(
+                    args.models, args.work_dir, config.folds_number,
+                    config.num_classes,
+                )
+            else:
+                providers = {config.subfolder_name(): provider}
             if args.operation == "global":
                 res = global_evaluate_ensembles(providers, config.folds_number)
                 print(f"global mean accuracy: {res.mean_accuracy:.4f}")

@@ -66,12 +66,22 @@ class InceptionBlock(nn.Module):
 
 class I3DTrunk(nn.Module):
     """Stem + Mixed_3b..Mixed_5c.  Output: (N, T', H', W', 1024) features
-    (pre-head)."""
+    (pre-head).
+
+    remat=True rematerializes each inception block on the backward pass
+    (jax.checkpoint) — trades ~20% more FLOPs for a large activation-memory
+    saving, enabling bigger per-chip batches when training at 224²."""
 
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        block_cls = (
+            nn.remat(InceptionBlock, static_argnums=(2,))
+            if self.remat
+            else InceptionBlock
+        )
         x = x.astype(self.dtype)
         x = ConvBN(64, (7, 7, 7), strides=(2, 2, 2), dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), "SAME")
@@ -80,13 +90,13 @@ class I3DTrunk(nn.Module):
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), "SAME")
 
         for name in ("Mixed_3b", "Mixed_3c"):
-            x = InceptionBlock(INCEPTION_SPECS[name], dtype=self.dtype, name=name)(x, train)
+            x = block_cls(INCEPTION_SPECS[name], dtype=self.dtype, name=name)(x, train)
         x = max_pool_3d(x, (3, 3, 3), (2, 2, 2), "SAME")
         for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"):
-            x = InceptionBlock(INCEPTION_SPECS[name], dtype=self.dtype, name=name)(x, train)
+            x = block_cls(INCEPTION_SPECS[name], dtype=self.dtype, name=name)(x, train)
         x = max_pool_3d(x, (2, 2, 2), (2, 2, 2), "SAME")
         for name in ("Mixed_5b", "Mixed_5c"):
-            x = InceptionBlock(INCEPTION_SPECS[name], dtype=self.dtype, name=name)(x, train)
+            x = block_cls(INCEPTION_SPECS[name], dtype=self.dtype, name=name)(x, train)
         return x
 
 
@@ -104,10 +114,11 @@ class I3D(nn.Module):
 
     num_classes: int = 11
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = I3DTrunk(dtype=self.dtype, name="trunk")(x, train)
+        x = I3DTrunk(dtype=self.dtype, remat=self.remat, name="trunk")(x, train)
         x = i3d_feature_head(x)
         x = flatten(x)
         logits = nn.Dense(

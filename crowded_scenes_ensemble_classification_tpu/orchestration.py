@@ -187,9 +187,20 @@ def train_member(
     num_workers: int = 8,
     optimizer=None,
     staging_hw=DEFAULT_STAGING_HW,
+    rgb_h5: Optional[str] = None,
+    flow_h5: Optional[str] = None,
 ) -> Dict[str, Any]:
     """One ensemble member end-to-end: fit → test eval → history artifact
-    (reference train.py main, :1978-2051)."""
+    (reference train.py main, :1978-2051).  rgb_h5/flow_h5 supply pretrained
+    Keras checkpoints for _PRETRAINED runs (models.pretrained)."""
+    if bundle is None and config.training_condition == "_PRETRAINED" and (
+        initial_variables is None
+    ):
+        from .models.pretrained import build_with_condition
+
+        bundle, initial_variables = build_with_condition(
+            config, seed=seed, rgb_h5=rgb_h5, flow_h5=flow_h5
+        )
     bundle = bundle or build_model(config.model_type, config.num_classes)
     pipes = _pipelines_for_split(
         config, layout, t, v, staging_hw=staging_hw, num_workers=num_workers
