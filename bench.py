@@ -32,7 +32,7 @@ def main():
     )
 
     num_members = 4
-    batch = 8
+    batch = 32  # B=32 ≈ +60% clips/s over B=8 on v5e (see PROGRESS notes)
     frames, size = 20, 224
     staging = 256
 

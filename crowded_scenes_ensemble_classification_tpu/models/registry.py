@@ -92,3 +92,28 @@ def predict_proba(bundle: ModelBundle, variables: Dict, batch) -> jax.Array:
     """Softmax probabilities — what the reference models emitted directly."""
     logits = bundle.apply(variables, batch, train=False)
     return jax.nn.softmax(logits, axis=-1)
+
+
+def summarize(bundle: ModelBundle, variables: Dict) -> str:
+    """Human-readable parameter summary — the reference's model.summary()
+    (train.py:806,1893,1945) equivalent for jitted Flax models."""
+    lines = [f"{bundle.model_type}: input {bundle.clip.rgb_shape}"]
+    total = 0
+
+    def walk(tree, prefix=""):
+        nonlocal total
+        for k in sorted(tree):
+            v = tree[k]
+            if isinstance(v, dict):
+                walk(v, prefix + k + "/")
+            else:
+                n = int(jnp.size(v))
+                total += n
+                lines.append(f"  {prefix + k:<60} {tuple(v.shape)!s:<20} {n:>12,}")
+
+    walk(variables.get("params", {}))
+    lines.append(f"total params: {total:,}")
+    if "batch_stats" in variables:
+        stats = sum(int(jnp.size(x)) for x in jax.tree_util.tree_leaves(variables["batch_stats"]))
+        lines.append(f"batch_stats:  {stats:,}")
+    return "\n".join(lines)

@@ -245,11 +245,22 @@ def fit(
     input_scale: float = 1.0,
     optimizer: Optional[optax.GradientTransformation] = None,
     metrics_logger=None,
+    save_full_every: int = 0,
+    resume_full: bool = False,
 ) -> Dict[str, Any]:
     """Epoch loop with the reference's callback semantics.  Returns
     {'history': {...}, 'state': final TrainState, 'best_val_loss': float}.
     """
-    from .checkpoints import best_exists, restore_best, save_best  # lazy
+    import json
+
+    from .checkpoints import (  # lazy
+        best_exists,
+        full_exists,
+        restore_best,
+        restore_full,
+        save_best,
+        save_full,
+    )
 
     out_hw = (bundle.clip.height, bundle.clip.width)
     policy = lr_policy or lr_policy_for(bundle.model_type)
@@ -284,8 +295,24 @@ def fit(
     history = {"loss": [], "accuracy": [], "val_loss": [], "val_accuracy": []}
     best_val = math.inf
     lr = policy.initial_lr
+    start_epoch = 0
 
-    for epoch in range(epochs):
+    # Exact resume: full TrainState (params+opt+step+PRNG) + loop metadata —
+    # the reference could only warm-start weights (train.py:1887-1890).
+    meta_path = (
+        os.path.join(checkpoint_dir, "fit_meta.json") if checkpoint_dir else None
+    )
+    if resume_full and checkpoint_dir and full_exists(checkpoint_dir):
+        state = restore_full(checkpoint_dir, state)
+        if meta_path and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            start_epoch = int(meta["epoch"]) + 1
+            lr = float(meta["lr"])
+            best_val = float(meta["best_val"])
+            history = meta["history"]
+
+    for epoch in range(start_epoch, epochs):
         lr = policy.epoch_begin_lr(epoch, lr)
         if hasattr(state.opt_state, "hyperparams"):
             state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
@@ -333,6 +360,20 @@ def fit(
                 save_best(checkpoint_dir, state.variables())
 
         lr = policy.epoch_end_lr(val["loss"], lr)
+
+        if (
+            save_full_every
+            and checkpoint_dir
+            and (epoch + 1) % save_full_every == 0
+        ):
+            save_full(checkpoint_dir, state)
+            with open(meta_path, "w") as f:
+                json.dump(
+                    {"epoch": epoch, "lr": lr, "best_val": best_val,
+                     "history": history},
+                    f,
+                )
+
         if early.update(val["loss"]):
             break
 
