@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import zlib
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -165,7 +166,8 @@ def _pipelines_for_split(
             spec,
             batch_size=config.batch_size,
             shuffle=(name == "train"),
-            seed=hash((t, v, name)) % (2**31),
+            # deterministic across processes (Python's hash() is salted)
+            seed=zlib.crc32(f"{t}/{v}/{name}".encode()) % (2**31),
             num_workers=num_workers,
         )
     return out
