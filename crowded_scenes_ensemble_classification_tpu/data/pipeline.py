@@ -128,7 +128,12 @@ class BatchPipeline:
         augmentation_frequency: int = 1,
         num_workers: int = 8,
         drop_last: bool = False,
+        cache_file: Optional[str] = None,
     ):
+        """cache_file: path to a native clip-cache shard
+        (data.clip_cache) — decode-once mode: the first pass populates the
+        cache, later epochs stream from it with threaded pread.  One-stream
+        rgb pipelines only."""
         self.df = df.reset_index(drop=True)
         self.spec = spec
         self.batch_size = batch_size
@@ -138,6 +143,14 @@ class BatchPipeline:
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.source = ClipSource(spec)
+        if cache_file is not None:
+            if spec.two_stream:
+                raise ValueError("clip cache supports one-stream rgb pipelines")
+            from .clip_cache import CachingClipSource
+
+            self.source = CachingClipSource(
+                self.source, self.df, cache_file, num_threads=num_workers
+            )
 
     def __len__(self) -> int:
         n = len(self.df) * self.tile
@@ -153,6 +166,8 @@ class BatchPipeline:
         return idx
 
     def batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        if hasattr(self.source, "populate") and not self.source.ready:
+            self.source.populate()
         idx = self.epoch_indices(epoch)
         n = len(idx)
         bs = self.batch_size
@@ -161,6 +176,9 @@ class BatchPipeline:
         def load(i: int) -> Dict[str, np.ndarray]:
             return self.source(self.df.iloc[int(i)])
 
+        cached = hasattr(self.source, "read_batch") and getattr(
+            self.source, "ready", False
+        )
         with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             for b in range(nb):
                 chunk = idx[b * bs : (b + 1) * bs]
@@ -168,11 +186,16 @@ class BatchPipeline:
                 if valid < bs:  # pad by cycling (masked out downstream)
                     pad = np.resize(chunk, bs)
                     chunk = pad
-                samples = list(pool.map(load, chunk))
-                batch = {
-                    k: np.stack([s[k] for s in samples])
-                    for k in samples[0]
-                }
+                if cached:
+                    # native multi-threaded pread path (data.clip_cache)
+                    rgb, labels = self.source.read_batch(chunk)
+                    batch = {"rgb": rgb, "label": labels}
+                else:
+                    samples = list(pool.map(load, chunk))
+                    batch = {
+                        k: np.stack([s[k] for s in samples])
+                        for k in samples[0]
+                    }
                 batch["valid"] = (np.arange(bs) < valid)
                 batch["index"] = np.asarray(chunk, np.int64)
                 yield batch

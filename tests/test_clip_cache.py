@@ -80,3 +80,38 @@ def test_caching_source_populate_and_read(tmp_path):
     # reopening sees the cache immediately
     cs2 = CachingClipSource(source, df, path)
     assert cs2.ready
+
+
+def test_pipeline_with_cache(tmp_path):
+    from crowded_scenes_ensemble_classification_tpu.data import (
+        BatchPipeline,
+        SampleSpec,
+        generate_synthetic_dataset,
+    )
+
+    df = generate_synthetic_dataset(
+        str(tmp_path / "d"), num_scenes=4, clips_per_scene=2, num_classes=2,
+        num_frames=6, hw=(24, 24), as_videos=False,
+    ).rename(columns={"label": "class"})
+    spec = SampleSpec(num_frames=6, staging_hw=(24, 24))
+    cache = str(tmp_path / "clips.ccache")
+
+    plain = BatchPipeline(df, spec, batch_size=4, shuffle=False, num_workers=2)
+    cached = BatchPipeline(
+        df, spec, batch_size=4, shuffle=False, num_workers=2, cache_file=cache
+    )
+    b_plain = list(plain.batches(0))
+    b_cached = list(cached.batches(0))  # first call populates then reads
+    assert cached.source.ready
+    for a, b in zip(b_plain, b_cached):
+        np.testing.assert_array_equal(a["rgb"], b["rgb"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+        np.testing.assert_array_equal(a["valid"], b["valid"])
+
+    # second pipeline over the same cache reads instantly
+    again = BatchPipeline(
+        df, spec, batch_size=4, shuffle=False, num_workers=2, cache_file=cache
+    )
+    assert again.source.ready
+    for a, b in zip(b_plain, again.batches(0)):
+        np.testing.assert_array_equal(a["rgb"], b["rgb"])
