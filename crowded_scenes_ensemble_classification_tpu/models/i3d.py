@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import ConvBN, avg_pool_3d, flatten, max_pool_3d
+from .common import ConvBN, S2DStemConvBN, avg_pool_3d, flatten, max_pool_3d
 
 # (b0_1x1, b1_1x1, b1_3x3, b2_1x1, b2_3x3, b3_pool_proj) per inception block.
 INCEPTION_SPECS = {
@@ -74,6 +74,9 @@ class I3DTrunk(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # s2d_stem=True rewrites the 7³/2 stem as a space-to-depth conv —
+    # bit-identical math, much better TPU tiling (models.common.s2d_stem_conv)
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -83,7 +86,10 @@ class I3DTrunk(nn.Module):
             else InceptionBlock
         )
         x = x.astype(self.dtype)
-        x = ConvBN(64, (7, 7, 7), strides=(2, 2, 2), dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
+        if self.s2d_stem:
+            x = S2DStemConvBN(64, dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
+        else:
+            x = ConvBN(64, (7, 7, 7), strides=(2, 2, 2), dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), "SAME")
         x = ConvBN(64, (1, 1, 1), dtype=self.dtype, name="Conv3d_2b_1x1")(x, train)
         x = ConvBN(192, (3, 3, 3), dtype=self.dtype, name="Conv3d_2c_3x3")(x, train)
@@ -115,10 +121,13 @@ class I3D(nn.Module):
     num_classes: int = 11
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = I3DTrunk(dtype=self.dtype, remat=self.remat, name="trunk")(x, train)
+        x = I3DTrunk(
+            dtype=self.dtype, remat=self.remat, s2d_stem=self.s2d_stem, name="trunk"
+        )(x, train)
         x = i3d_feature_head(x)
         x = flatten(x)
         logits = nn.Dense(

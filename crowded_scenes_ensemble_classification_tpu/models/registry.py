@@ -66,17 +66,20 @@ def build_model(
     model_type: str,
     num_classes: int = 11,
     dtype=jnp.float32,
+    **model_kwargs,
 ) -> ModelBundle:
+    """model_kwargs forward to the module constructor (e.g. I3D's
+    s2d_stem/remat, C3D's width)."""
     spec = clip_spec(model_type)
     if model_type == "C3D":
-        module = C3D(num_classes=num_classes, dtype=dtype)
+        module = C3D(num_classes=num_classes, dtype=dtype, **model_kwargs)
     elif model_type == "I3D":
-        module = I3D(num_classes=num_classes, dtype=dtype)
+        module = I3D(num_classes=num_classes, dtype=dtype, **model_kwargs)
     elif model_type == "TWOSTREAM_I3D":
-        module = TwoStreamI3D(num_classes=num_classes, dtype=dtype)
+        module = TwoStreamI3D(num_classes=num_classes, dtype=dtype, **model_kwargs)
     elif model_type.startswith("R3D_"):
         depth = int(model_type.split("_")[1])
-        module = R3D(num_classes=num_classes, depth=depth, dtype=dtype)
+        module = R3D(num_classes=num_classes, depth=depth, dtype=dtype, **model_kwargs)
     else:
         raise ValueError(f"Unknown model_type {model_type!r}")
     return ModelBundle(

@@ -108,3 +108,19 @@ def test_batchnorm_mutable_train_step():
     old = jax.tree_util.tree_leaves(variables["batch_stats"])
     new = jax.tree_util.tree_leaves(new_vars["batch_stats"])
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_s2d_stem_identical_outputs():
+    """Space-to-depth stem: same param tree, same outputs
+    (models.common.s2d_stem_conv)."""
+    from crowded_scenes_ensemble_classification_tpu.models import I3D
+
+    m0 = I3D(num_classes=3)
+    m1 = I3D(num_classes=3, s2d_stem=True)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 16, 64, 64, 3)), jnp.float32
+    )
+    v = m0.init(jax.random.key(0), x, train=False)
+    a = m0.apply(v, x, train=False)
+    b = m1.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
