@@ -87,3 +87,81 @@ def test_launch_commands_runner(tmp_path):
     )
     assert rc == 0
     assert os.path.exists(tmp_path / "work" / "experiment.json")
+
+
+def test_ensemble_and_report_cli_from_cached_probs(tmp_path, capsys):
+    """ensemble/report subcommands driven purely by pre-seeded probability
+    caches (cache_probabilities short-circuits on existing npz —
+    reference auto-cache semantics, evaluate_ensemble.py:1161-1174)."""
+    from crowded_scenes_ensemble_classification_tpu.core.config import ExperimentConfig
+    from crowded_scenes_ensemble_classification_tpu.ensemble.probability_store import (
+        probability_cache_path,
+        save_probabilities,
+    )
+    from crowded_scenes_ensemble_classification_tpu.orchestration import WorkLayout
+
+    work = str(tmp_path / "work")
+    cfg = ExperimentConfig(model_type="C3D", folds_number=3, num_classes=3)
+    layout = WorkLayout(work)
+    rng = np.random.default_rng(0)
+    for t in range(3):
+        labels = rng.integers(0, 3, 20)
+        probs = np.where(
+            rng.random((2, 20, 1)) < 0.8,
+            np.eye(3)[labels][None],
+            rng.dirichlet(np.ones(3), (2, 20)),
+        ).astype(np.float32)
+        for subset in ("test", "train_val"):
+            save_probabilities(
+                probability_cache_path(layout.probs_dir, cfg.subfolder_name(), t, subset),
+                probs, labels, [f"m{t}0", f"m{t}1"],
+            )
+        # history npys for VALIDATION_ERROR_INVERSE
+        for v in [x for x in range(3) if x != t]:
+            hp = layout.history_path(cfg, t, v)
+            os.makedirs(os.path.dirname(hp), exist_ok=True)
+            np.save(hp, np.asarray([1.0, 0.5 + 0.1 * v], np.float32))
+
+    rc = main([
+        "ensemble", "--work-dir", work, "-mt", "C3D", "-fn", "3",
+        "--num-classes", "3", "--operation", "evaluate", "-wt", "SUM",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mean accuracy:" in out
+    assert os.path.exists(
+        os.path.join(
+            work, "Results",
+            f"weighted_prediction_results_{cfg.subfolder_name()}.csv",
+        )
+    )
+
+    rc = main([
+        "ensemble", "--work-dir", work, "-mt", "C3D", "-fn", "3",
+        "--num-classes", "3", "--operation", "evaluate",
+        "-wt", "VALIDATION_ERROR_INVERSE",
+    ])
+    assert rc == 0
+
+    rc = main([
+        "ensemble", "--work-dir", work, "-mt", "C3D", "-fn", "3",
+        "--num-classes", "3", "--operation", "evaluate",
+        "-wt", "GRID_SEARCH",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "GRID_SEARCH" in out  # learned weights .npy path printed
+
+    rc = main([
+        "report", "--work-dir", work, "-mt", "C3D", "-fn", "3",
+        "--num-classes", "3", "--operation", "agreement",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.strip().endswith(".pdf")
+
+    rc = main([
+        "report", "--work-dir", work, "-mt", "C3D", "-fn", "3",
+        "--num-classes", "3", "--operation", "confusion",
+    ])
+    assert rc == 0
