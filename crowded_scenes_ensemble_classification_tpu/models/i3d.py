@@ -20,6 +20,7 @@ Kinetics geometry 64×224×224 also works (all shapes are static under jit).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -43,10 +44,14 @@ INCEPTION_SPECS = {
 
 
 class InceptionBlock(nn.Module):
-    """One Mixed_* block: 4 parallel branches concatenated on channels."""
+    """One Mixed_* block: 4 parallel branches concatenated on channels.
+
+    pool_impl='pallas' routes the 3³/1 SAME maxpool branch through the
+    Pallas DMA kernel (ops.pallas.maxpool) — TPU only."""
 
     spec: Tuple[int, int, int, int, int, int]
     dtype: jnp.dtype = jnp.float32
+    pool_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -59,7 +64,12 @@ class InceptionBlock(nn.Module):
         branch_1 = cbn(b1_c, (3, 3, 3), "b1_3x3")(branch_1, train)
         branch_2 = cbn(b2_r, (1, 1, 1), "b2_1x1")(x, train)
         branch_2 = cbn(b2_c, (3, 3, 3), "b2_3x3")(branch_2, train)
-        branch_3 = max_pool_3d(x, (3, 3, 3), (1, 1, 1), "SAME")
+        if self.pool_impl == "pallas":
+            from ..ops.pallas.maxpool import max_pool_3x3x3_same
+
+            branch_3 = max_pool_3x3x3_same(x)
+        else:
+            branch_3 = max_pool_3d(x, (3, 3, 3), (1, 1, 1), "SAME")
         branch_3 = cbn(b3_c, (1, 1, 1), "b3_1x1")(branch_3, train)
         return jnp.concatenate([branch_0, branch_1, branch_2, branch_3], axis=-1)
 
@@ -75,15 +85,18 @@ class I3DTrunk(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     # s2d_stem=True rewrites the 7³/2 stem as a space-to-depth conv —
-    # bit-identical math, much better TPU tiling (models.common.s2d_stem_conv)
+    # bit-identical math (models.common.s2d_stem_conv); measured neutral on
+    # v5e (XLA already tiles the stem well) — kept as an option.
     s2d_stem: bool = False
+    pool_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        base_cls = functools.partial(InceptionBlock, pool_impl=self.pool_impl)
         block_cls = (
             nn.remat(InceptionBlock, static_argnums=(2,))
             if self.remat
-            else InceptionBlock
+            else base_cls
         )
         x = x.astype(self.dtype)
         if self.s2d_stem:
@@ -122,11 +135,16 @@ class I3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     s2d_stem: bool = False
+    pool_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = I3DTrunk(
-            dtype=self.dtype, remat=self.remat, s2d_stem=self.s2d_stem, name="trunk"
+            dtype=self.dtype,
+            remat=self.remat,
+            s2d_stem=self.s2d_stem,
+            pool_impl=self.pool_impl,
+            name="trunk",
         )(x, train)
         x = i3d_feature_head(x)
         x = flatten(x)

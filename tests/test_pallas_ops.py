@@ -94,3 +94,47 @@ def test_noise_density_on_tpu():
     out = np.asarray(_run(x, 7, on, on, interpret=False))
     assert 0.005 < (out == 255.0).mean() < 0.016
     assert 0.005 < (out == 0.0).mean() < 0.016
+
+
+def test_maxpool_pallas_matches_xla_interpret():
+    """3³/1 SAME maxpool kernel == nn.max_pool (interpret mode)."""
+    import flax.linen as nn
+    from crowded_scenes_ensemble_classification_tpu.ops.pallas import maxpool as M
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 5, 8, 8, 16)), jnp.float32)
+    b, t, h, w, c = x.shape
+    slab = (1, 1, h, w, c)
+
+    def idx(shift):
+        return lambda i, j: (i, jnp.clip(j + shift, 0, t - 1), 0, 0, 0)
+
+    out = pl.pallas_call(
+        M._maxpool3_kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec(slab, idx(-1), memory_space=pltpu.VMEM),
+            pl.BlockSpec(slab, idx(0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(slab, idx(1), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(slab, lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=pltpu.InterpretParams(),
+    )(x, x, x)
+    ref = nn.max_pool(x, (3, 3, 3), (1, 1, 1), "SAME")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.skipif(not ON_TPU, reason="compiled pallas requires TPU")
+def test_maxpool_pallas_on_tpu():
+    import flax.linen as nn
+    from crowded_scenes_ensemble_classification_tpu.ops.pallas.maxpool import (
+        max_pool_3x3x3_same,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 4, 16, 16, 192)), jnp.bfloat16)
+    out = max_pool_3x3x3_same(x)
+    ref = nn.max_pool(x, (3, 3, 3), (1, 1, 1), "SAME")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
