@@ -9,6 +9,7 @@ from .folds import (  # noqa: F401
 )
 from .pipeline import (  # noqa: F401
     BatchPipeline,
+    prefetch_batches,
     ClipSource,
     SampleSpec,
     class_weights_balanced,

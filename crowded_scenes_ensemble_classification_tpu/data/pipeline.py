@@ -201,6 +201,38 @@ class BatchPipeline:
                 yield batch
 
 
+def prefetch_batches(pipeline: "BatchPipeline", epoch: int = 0, depth: int = 2):
+    """Run pipeline.batches(epoch) on a background thread, keeping up to
+    `depth` ready batches queued — decode/staging of batch k+1 overlaps the
+    device step on batch k (the reference relied on fit_generator worker
+    threads for this, train.py:1904-1921)."""
+    import queue
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: List[BaseException] = []
+
+    def producer():
+        try:
+            for batch in pipeline.batches(epoch):
+                q.put(batch)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+    t.join()
+    if err:
+        raise err[0]
+
+
 def class_weights_balanced(labels: Sequence[int], num_classes: int) -> np.ndarray:
     """sklearn-style 'balanced' weights: n / (k * bincount)
     (reference train.py:1900-1912 used sklearn.compute_class_weight)."""

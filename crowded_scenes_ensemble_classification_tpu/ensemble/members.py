@@ -110,8 +110,10 @@ def member_probabilities(
     else:
         forward = make_member_forward(bundle, out_hw)
 
+    from ..data.pipeline import prefetch_batches
+
     chunks: List[np.ndarray] = []
-    for batch in pipeline.batches(epoch=0):
+    for batch in prefetch_batches(pipeline, epoch=0):
         probs = np.asarray(forward(stacked, batch))  # (M, B, C)
         valid = np.asarray(batch["valid"])
         chunks.append(probs[:, valid])

@@ -50,25 +50,31 @@ def _maxpool3_kernel(xm1_ref, x0_ref, xp1_ref, o_ref):
 @jax.jit
 def max_pool_3x3x3_same(x: jax.Array) -> jax.Array:
     """(B, T, H, W, C) → same shape; equals nn.max_pool((3,3,3), (1,1,1),
-    'SAME').  bf16/f32."""
+    'SAME').  bf16/f32.
+
+    Channels are chunked into 128-lane blocks so the 3-slab working set
+    (×2 pipeline buffers) stays under the 16 MB VMEM budget."""
     b, t, h, w, c = x.shape
+    cb = min(c, 128)
     block = pl.BlockSpec
-    slab = (1, 1, h, w, c)
+    slab = (1, 1, h, w, cb)
 
     def idx(shift):
-        def index_map(i, j):
-            return (i, jnp.clip(j + shift, 0, t - 1), 0, 0, 0)
+        def index_map(i, j, k):
+            return (i, jnp.clip(j + shift, 0, t - 1), 0, 0, k)
 
         return index_map
 
     return pl.pallas_call(
         _maxpool3_kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        grid=(b, t),
+        grid=(b, t, pl.cdiv(c, cb)),
         in_specs=[
             block(slab, idx(-1), memory_space=pltpu.VMEM),
             block(slab, idx(0), memory_space=pltpu.VMEM),
             block(slab, idx(1), memory_space=pltpu.VMEM),
         ],
-        out_specs=block(slab, lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=block(
+            slab, lambda i, j, k: (i, j, 0, 0, k), memory_space=pltpu.VMEM
+        ),
     )(x, x, x)

@@ -208,7 +208,9 @@ def evaluate_model(
     correct = 0.0
     count = 0.0
     probs_all = [] if collect_probs else None
-    for batch in pipeline.batches(epoch=0):
+    from ..data.pipeline import prefetch_batches
+
+    for batch in prefetch_batches(pipeline, epoch=0):
         out = step(variables, batch)
         loss_sum += float(out["loss_sum"])
         correct += float(out["correct"])
@@ -317,8 +319,10 @@ def fit(
         if hasattr(state.opt_state, "hyperparams"):
             state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
 
+        from ..data.pipeline import prefetch_batches
+
         losses, accs = [], []
-        for batch in train_pipeline.batches(epoch=epoch):
+        for batch in prefetch_batches(train_pipeline, epoch=epoch):
             state, metrics = train_step(state, batch, cw)
             losses.append(metrics["loss"])
             accs.append(metrics["accuracy"])
