@@ -51,7 +51,7 @@ class InceptionBlock(nn.Module):
 
     spec: Tuple[int, int, int, int, int, int]
     dtype: jnp.dtype = jnp.float32
-    pool_impl: str = "xla"
+    pool_impl: str = "auto"  # auto | xla | pallas
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -64,7 +64,14 @@ class InceptionBlock(nn.Module):
         branch_1 = cbn(b1_c, (3, 3, 3), "b1_3x3")(branch_1, train)
         branch_2 = cbn(b2_r, (1, 1, 1), "b2_1x1")(x, train)
         branch_2 = cbn(b2_c, (3, 3, 3), "b2_3x3")(branch_2, train)
-        if self.pool_impl == "pallas":
+        use_pallas = self.pool_impl == "pallas" or (
+            self.pool_impl == "auto"
+            and jax.devices()[0].platform == "tpu"
+            # measured on v5e: the pallas kernel wins at the 56² level
+            # (1.75×) and loses at ≤28² where chunk overhead dominates
+            and int(x.shape[2]) * int(x.shape[3]) >= 56 * 56
+        )
+        if use_pallas:
             from ..ops.pallas.maxpool import max_pool_3x3x3_same
 
             branch_3 = max_pool_3x3x3_same(x)
@@ -88,7 +95,7 @@ class I3DTrunk(nn.Module):
     # bit-identical math (models.common.s2d_stem_conv); measured neutral on
     # v5e (XLA already tiles the stem well) — kept as an option.
     s2d_stem: bool = False
-    pool_impl: str = "xla"
+    pool_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -135,7 +142,7 @@ class I3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     s2d_stem: bool = False
-    pool_impl: str = "xla"
+    pool_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
