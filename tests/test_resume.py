@@ -85,3 +85,41 @@ def test_fresh_run_ignores_resume_flag_when_no_checkpoint(tmp_path):
         lr_policy=LRPolicy(initial_lr=2e-3),
     )
     assert len(out["history"]["loss"]) == 1
+
+
+def test_nan_guard_stops_training(tmp_path):
+    """Fault injection: a divergent optimizer must trip the NaN/inf guard
+    (the reference imported TerminateOnNaN but never wired it — here it
+    works, SURVEY.md §5)."""
+    import optax
+
+    root = tmp_path / "data"
+    from crowded_scenes_ensemble_classification_tpu.data import (
+        generate_synthetic_dataset,
+    )
+
+    df = generate_synthetic_dataset(
+        str(root), num_scenes=4, clips_per_scene=2, num_classes=2,
+        num_frames=16, hw=(36, 36), as_videos=False,
+    ).rename(columns={"label": "class"})
+    from crowded_scenes_ensemble_classification_tpu.data import (
+        BatchPipeline,
+        SampleSpec,
+    )
+
+    spec = SampleSpec(num_frames=16, staging_hw=(36, 36))
+    tr = BatchPipeline(df.iloc[:6], spec, batch_size=6, seed=1, num_workers=2)
+    va = BatchPipeline(df.iloc[6:], spec, batch_size=6, shuffle=False, num_workers=2)
+    out = fit(
+        bundle3(),
+        tr,
+        va,
+        epochs=10,
+        optimizer=optax.inject_hyperparams(optax.sgd)(learning_rate=1e18),
+        input_scale=1 / 255.0,
+        lr_policy=LRPolicy(initial_lr=1e18),
+    )
+    hist = out["history"]
+    # guard fired: training stopped long before 10 epochs on a non-finite loss
+    assert len(hist["loss"]) < 10
+    assert not math.isfinite(hist["loss"][-1])
