@@ -14,6 +14,7 @@ from .distributed import (  # noqa: F401
 )
 from .streaming import (  # noqa: F401
     extract_windows,
+    streaming_member_probabilities,
     streaming_predict,
     streaming_predict_batch,
     window_starts,

@@ -84,3 +84,33 @@ def streaming_predict_batch(
     logits = bundle.apply(variables, {"rgb": flat}, train=False)
     probs = jax.nn.softmax(logits, axis=-1).reshape(b, n_win, -1)
     return jnp.mean(probs, axis=1)
+
+
+def streaming_member_probabilities(
+    bundle: ModelBundle,
+    stacked_variables: Dict,
+    clips: jax.Array,
+    stride: Optional[int] = None,
+    input_scale: float = 1.0,
+) -> jax.Array:
+    """Long-video ensemble inference: (B, T, H, W, C) clips × M stacked
+    members → (M, B, C) window-averaged softmax scores.  Members vmap over
+    the stacked params (ensemble.members), windows batch over the data axis
+    — members × windows fully parallel."""
+    import jax as _jax
+
+    window = bundle.clip.frames
+    stride = stride or window // 2
+    b, t = int(clips.shape[0]), int(clips.shape[1])
+    n_win = len(window_starts(t, window, stride))
+    wins = _jax.vmap(lambda c: extract_windows(c, window, stride))(
+        clips.astype(jnp.float32) * input_scale
+    )
+    flat = wins.reshape((b * n_win,) + wins.shape[2:])
+
+    def member(variables):
+        logits = bundle.apply(variables, {"rgb": flat}, train=False)
+        probs = _jax.nn.softmax(logits, axis=-1).reshape(b, n_win, -1)
+        return jnp.mean(probs, axis=1)
+
+    return _jax.vmap(member)(stacked_variables)

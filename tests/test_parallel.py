@@ -86,3 +86,38 @@ def test_streaming_predict_long_video(rng):
 def test_member_assignment_single_process():
     pairs = my_member_assignments(5)
     assert len(pairs) == 20  # single process gets all k·(k−1)
+
+
+def test_streaming_member_ensemble(rng):
+    from crowded_scenes_ensemble_classification_tpu.ensemble import stack_variables
+    from crowded_scenes_ensemble_classification_tpu.parallel import (
+        streaming_member_probabilities,
+    )
+
+    bundle = ModelBundle(
+        model_type="C3D",
+        module=C3D(num_classes=3, width=0.125),
+        clip=ClipSpec(frames=16, height=32, width=32),
+        num_classes=3,
+        two_stream=False,
+    )
+    stacked = stack_variables(
+        [bundle.init(jax.random.key(i)) for i in range(2)]
+    )
+    clips = jnp.asarray(rng.integers(0, 255, (2, 40, 32, 32, 3)), jnp.float32)
+    probs = streaming_member_probabilities(
+        bundle, stacked, clips, input_scale=1 / 255.0
+    )
+    assert probs.shape == (2, 2, 3)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-4)
+
+
+def test_i3d_kinetics_geometry_64_frames():
+    """BASELINE config #3: I3D accepts the original 64-frame Kinetics
+    geometry (all shapes static under jit)."""
+    from crowded_scenes_ensemble_classification_tpu.models import I3D
+
+    m = I3D(num_classes=5)
+    v = m.init(jax.random.key(0), jnp.zeros((1, 64, 32, 32, 3)), train=False)
+    out = m.apply(v, jnp.zeros((1, 64, 32, 32, 3)), train=False)
+    assert out.shape == (1, 5)
