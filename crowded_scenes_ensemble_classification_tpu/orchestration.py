@@ -451,3 +451,63 @@ def global_prob_providers(
         name: make_prob_provider(cfg, layout, mesh=mesh, **kwargs)
         for name, cfg in configs.items()
     }
+
+
+def reference_probabilities_csv_name(
+    config: ExperimentConfig, subset: str
+) -> str:
+    """The reference's probability-cache CSV filename
+    (lookFor_probabilitiesFile, evaluate_ensemble.py:1397-1410):
+    `{subset}_predicted_probabilities_{subfolder}[_Freq{n}].csv`."""
+    stem = config.subfolder_name()
+    if config.augmentation_status == "augmented_precomputed":
+        stem += f"_Freq{config.augmentation_frequency}"
+    return f"{subset}_predicted_probabilities_{stem}.csv"
+
+
+def prob_provider_from_reference_csvs(
+    config: ExperimentConfig,
+    layout: WorkLayout,
+    results_folder: Optional[str] = None,
+) -> Callable[[int, str], Dict[str, np.ndarray]]:
+    """ProbProvider reading the reference's stringified-CSV probability
+    caches (interop: ensembles stored by the reference pipeline evaluate
+    here without re-running any model).  Labels come from the split CSVs
+    (the reference read them the same way, evaluate_ensemble.py:1528-1545).
+
+    NOTE: the reference wrote ONE CSV per (config, subset) holding all
+    folds' member matrices keyed by trained-model path; member rows for
+    fold t are selected by the `_split_test{t}_` name fragment."""
+    from .ensemble.probability_store import import_reference_csv
+
+    folder = results_folder or layout.probs_dir
+
+    def provider(t: int, subset: str) -> Dict[str, np.ndarray]:
+        path = os.path.join(
+            folder, reference_probabilities_csv_name(config, subset)
+        )
+        data = import_reference_csv(path, config.num_classes)
+        frag = f"_split_test{t}_"
+        sel = [i for i, n in enumerate(data["member_names"]) if frag in n]
+        if not sel:
+            raise KeyError(f"no members for test fold {t} in {path}")
+        probs = data["probs"][sel]
+        v0 = member_val_indices(config.folds_number, t)[0]
+        if subset == "test":
+            df = pd.read_csv(layout.split_csv(t, v0, "test"))
+        else:
+            df = pd.concat(
+                [
+                    pd.read_csv(layout.split_csv(t, v0, "train")),
+                    pd.read_csv(layout.split_csv(t, v0, "val")),
+                ],
+                ignore_index=True,
+            )
+        labels = df["class"].astype(int).values
+        return {
+            "probs": probs,
+            "labels": labels,
+            "member_names": [data["member_names"][i] for i in sel],
+        }
+
+    return provider

@@ -268,3 +268,58 @@ def test_member_parallel_on_mesh():
 
     probs = member_probabilities(bundle, vars_list, FakePipe(), mesh=mesh)
     assert probs.shape == (2, 8, 3)
+
+
+def test_reference_csv_provider_interop(tmp_path):
+    """A reference-format probability CSV (stringified matrices keyed by
+    trained-model name) evaluates through our provider path."""
+    import pandas as pd
+
+    from crowded_scenes_ensemble_classification_tpu.core.config import (
+        ExperimentConfig,
+    )
+    from crowded_scenes_ensemble_classification_tpu.orchestration import (
+        WorkLayout,
+        prob_provider_from_reference_csvs,
+        reference_probabilities_csv_name,
+    )
+
+    cfg = ExperimentConfig(model_type="C3D", folds_number=3, num_classes=3)
+    layout = WorkLayout(str(tmp_path))
+    rng = np.random.default_rng(0)
+
+    n = 10
+    labels = rng.integers(0, 3, n)
+    # split CSV with labels for fold 0 (val index 1)
+    d = tmp_path / "Splits" / "split_test0_val1"
+    d.mkdir(parents=True)
+    pd.DataFrame({"rgbclips_path": [f"c{i}" for i in range(n)], "class": labels}).to_csv(
+        d / "test.csv", index=False
+    )
+
+    # reference-format CSV: member rows for 2 members of fold 0
+    rows = []
+    mats = []
+    for v in (1, 2):
+        mat = rng.dirichlet(np.ones(3), n).astype(np.float32)
+        mats.append(mat)
+        rows.append(
+            {
+                "path": cfg.artifact_stem(0, v),
+                "probabilities": repr(mat.tolist()),
+            }
+        )
+    probs_dir = tmp_path / "Probabilities"
+    probs_dir.mkdir()
+    pd.DataFrame(rows).to_csv(
+        probs_dir / reference_probabilities_csv_name(cfg, "test"), index=False
+    )
+
+    provider = prob_provider_from_reference_csvs(cfg, layout)
+    out = provider(0, "test")
+    assert out["probs"].shape == (2, n, 3)
+    np.testing.assert_allclose(out["probs"][0], mats[0], atol=1e-6)
+    np.testing.assert_array_equal(out["labels"], labels)
+
+    res = evaluate_ensembles(provider, 1, "SUM", name="interop")
+    assert 0.0 <= res.folds[0].accuracy <= 1.0
