@@ -209,6 +209,12 @@ def train_member(
     )
     ckpt_dir = layout.checkpoint_dir(config, t, v)
 
+    from .utils.metrics import MetricsLogger
+
+    metrics_logger = MetricsLogger(
+        os.path.join(layout.root, "metrics", f"{config.artifact_stem(t, v)}.jsonl")
+    )
+
     result = fit(
         bundle,
         pipes["train"],
@@ -224,6 +230,7 @@ def train_member(
         input_scale=input_scale,
         verbose=verbose,
         optimizer=optimizer,
+        metrics_logger=metrics_logger,
     )
 
     best_vars = restore_best(ckpt_dir, result["state"].variables())
@@ -232,6 +239,14 @@ def train_member(
         bundle, best_vars, pipes["test"], out_hw, mesh, input_scale=input_scale
     )
     store_history(result["history"], layout.history_path(config, t, v))
+    metrics_logger.log(
+        "member_done",
+        test_index=t,
+        val_index=v,
+        test_loss=test["loss"],
+        test_accuracy=test["accuracy"],
+        best_val_loss=result["best_val_loss"],
+    )
     return {
         "history": result["history"],
         "best_val_loss": result["best_val_loss"],
