@@ -32,7 +32,7 @@ def main():
     )
 
     num_members = 4
-    batch = 32  # B=32 ≈ +60% clips/s over B=8 on v5e (see PROGRESS notes)
+    batch = 48  # B=48 measured best on v5e (B=64 exceeds memory at compile)
     frames, size = 20, 224
     staging = 256
 

@@ -26,13 +26,17 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def halo_exchange(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
+def halo_exchange(
+    x: jax.Array, left: int, axis_name: str, right: int | None = None
+) -> jax.Array:
     """Inside shard_map: pad the local time axis (axis 1 of NTHWC) with
-    `halo` frames received from the left/right neighbor over ICI.
+    `left` frames from the left neighbor and `right` (default = left)
+    frames from the right neighbor, over ICI (ppermute).
 
-    Edge devices zero-pad on their outer side — matching 'SAME' conv
-    padding of the unsharded tensor."""
-    if halo == 0:
+    Edge devices zero-pad on their outer side — matching TF-SAME conv
+    padding of the unsharded tensor (asymmetric pads for even strides)."""
+    right = left if right is None else right
+    if left == 0 and right == 0:
         return x
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
@@ -40,14 +44,19 @@ def halo_exchange(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
     send_right = [(i, (i + 1) % n) for i in range(n)]
     send_left = [(i, (i - 1) % n) for i in range(n)]
 
-    # receive my left neighbor's last `halo` frames / right's first `halo`
-    from_left = lax.ppermute(x[:, -halo:], axis_name, send_right)
-    from_right = lax.ppermute(x[:, :halo], axis_name, send_left)
-
-    zeros = jnp.zeros_like(from_left)
-    from_left = jnp.where(idx == 0, zeros, from_left)
-    from_right = jnp.where(idx == n - 1, jnp.zeros_like(from_right), from_right)
-    return jnp.concatenate([from_left, x, from_right], axis=1)
+    parts = []
+    if left:
+        from_left = lax.ppermute(x[:, -left:], axis_name, send_right)
+        from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
+        parts.append(from_left)
+    parts.append(x)
+    if right:
+        from_right = lax.ppermute(x[:, :right], axis_name, send_left)
+        from_right = jnp.where(
+            idx == n - 1, jnp.zeros_like(from_right), from_right
+        )
+        parts.append(from_right)
+    return jnp.concatenate(parts, axis=1)
 
 
 def halo_conv3d(
@@ -56,15 +65,27 @@ def halo_conv3d(
     strides: Tuple[int, int, int],
     axis_name: str,
 ) -> jax.Array:
-    """One 'SAME'-padded conv3d on a time-sharded NTHWC tensor, inside
-    shard_map.  Temporal stride must divide the local shard length.
+    """One TF-SAME conv3d on a time-sharded NTHWC tensor, inside shard_map.
+    Supports temporal stride 1 AND strided convs (e.g. the I3D 7³/2 stem,
+    reference train.py:1026): the asymmetric SAME pads become asymmetric
+    halos, and the local shard length must be a multiple of the temporal
+    stride so output phases align across shards.
 
     Equivalent to lax.conv on the gathered tensor: temporal padding is
     supplied by the halo exchange (interior) or zeros (edges); spatial
     dims use ordinary SAME padding."""
     kt = int(kernel.shape[0])
-    halo = (kt - 1) // 2
-    xp = halo_exchange(x, halo, axis_name)
+    st = strides[0]
+    t_loc = int(x.shape[1])
+    if t_loc % st:
+        raise ValueError(f"local shard length {t_loc} not divisible by stride {st}")
+    # TF-SAME temporal pads over the *global* axis become the halos
+    # (global T is a multiple of t_loc, so out = ceil(T/st) ⇒ total pad
+    # depends only on kt, st, and T%st==0).
+    total = max(kt - st, 0)
+    pad_l = total // 2
+    pad_r = total - pad_l
+    xp = halo_exchange(x, pad_l, axis_name, pad_r)
     # temporal VALID over the halo-padded axis == SAME over the gathered axis
     pads = [(0, 0)] + _same_pads(kernel.shape[1:3], x.shape[2:4], strides[1:])
     return lax.conv_general_dilated(

@@ -121,3 +121,38 @@ def test_i3d_kinetics_geometry_64_frames():
     v = m.init(jax.random.key(0), jnp.zeros((1, 64, 32, 32, 3)), train=False)
     out = m.apply(v, jnp.zeros((1, 64, 32, 32, 3)), train=False)
     assert out.shape == (1, 5)
+
+
+@pytest.mark.parametrize("kt,st", [(7, 2), (3, 2), (7, 1)])
+def test_halo_conv_strided_matches_unsharded(kt, st):
+    """Strided temporal conv (the I3D stem geometry 7³/2) sharded over the
+    time axis == unsharded TF-SAME conv."""
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from crowded_scenes_ensemble_classification_tpu.parallel.temporal_halo import (
+        halo_conv3d,
+    )
+
+    mesh = make_mesh((("time", 8),))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 32, 6, 6, 3)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(kt, 3, 3, 3, 5)) * 0.2, jnp.float32)
+
+    fn = jax.jit(
+        shard_map(
+            lambda xx: halo_conv3d(xx, k, (st, 2, 2), "time"),
+            mesh=mesh,
+            in_specs=P(None, "time"),
+            out_specs=P(None, "time"),
+        )
+    )
+    got = np.asarray(fn(x))
+    want = np.asarray(
+        lax.conv_general_dilated(
+            x, k, (st, 2, 2), "SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC")
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
