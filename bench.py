@@ -21,6 +21,13 @@ BASELINE_CLIPS_PER_SEC_PER_CHIP = 5000.0 / 60.0 / 8.0  # north-star, per chip
 
 def main():
     import jax
+
+    # persistent compile cache: repeat runs skip the (slow) TPU compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from crowded_scenes_ensemble_classification_tpu.ensemble.members import (
