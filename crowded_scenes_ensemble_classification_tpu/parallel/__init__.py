@@ -19,4 +19,10 @@ from .streaming import (  # noqa: F401
     streaming_predict_batch,
     window_starts,
 )
-from .temporal_halo import halo_conv3d, halo_exchange, time_sharded_conv_stack  # noqa: F401
+from .temporal_halo import (  # noqa: F401
+    halo_conv3d,
+    halo_exchange,
+    halo_max_pool3d,
+    time_sharded_conv_stack,
+    time_sharded_i3d_trunk,
+)

@@ -27,14 +27,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def halo_exchange(
-    x: jax.Array, left: int, axis_name: str, right: int | None = None
+    x: jax.Array,
+    left: int,
+    axis_name: str,
+    right: int | None = None,
+    fill: float = 0.0,
 ) -> jax.Array:
     """Inside shard_map: pad the local time axis (axis 1 of NTHWC) with
     `left` frames from the left neighbor and `right` (default = left)
     frames from the right neighbor, over ICI (ppermute).
 
-    Edge devices zero-pad on their outer side — matching TF-SAME conv
-    padding of the unsharded tensor (asymmetric pads for even strides)."""
+    Edge devices pad their outer side with `fill` — 0 matches TF-SAME conv
+    padding; use −inf for max-pooling halos."""
     right = left if right is None else right
     if left == 0 and right == 0:
         return x
@@ -47,13 +51,15 @@ def halo_exchange(
     parts = []
     if left:
         from_left = lax.ppermute(x[:, -left:], axis_name, send_right)
-        from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
+        from_left = jnp.where(
+            idx == 0, jnp.full_like(from_left, fill), from_left
+        )
         parts.append(from_left)
     parts.append(x)
     if right:
         from_right = lax.ppermute(x[:, :right], axis_name, send_left)
         from_right = jnp.where(
-            idx == n - 1, jnp.zeros_like(from_right), from_right
+            idx == n - 1, jnp.full_like(from_right, fill), from_right
         )
         parts.append(from_right)
     return jnp.concatenate(parts, axis=1)
@@ -129,6 +135,107 @@ def time_sharded_conv_stack(
 
     sharded = shard_map(
         local_stack,
+        mesh=mesh,
+        in_specs=P(None, time_axis),
+        out_specs=P(None, time_axis),
+    )
+    return jax.jit(sharded)
+
+
+def halo_max_pool3d(
+    x: jax.Array,
+    window: Tuple[int, int, int],
+    strides: Tuple[int, int, int],
+    axis_name: str,
+) -> jax.Array:
+    """TF-SAME MaxPool3D on a time-sharded NTHWC tensor (inside shard_map).
+    Temporal halos carry −inf edge fill; spatial dims pool locally with
+    ordinary SAME.  Local shard length must be a multiple of the temporal
+    stride (covers every reference pool: (1,3,3)/1,2,2, (3,3,3)/1, (3,3,3)/2
+    and (2,2,2)/2 — train.py:1030-1195)."""
+    import flax.linen as nn
+
+    kt, st = window[0], strides[0]
+    t_loc = int(x.shape[1])
+    if t_loc % st:
+        raise ValueError(f"local shard length {t_loc} not divisible by stride {st}")
+    total = max(kt - st, 0)
+    pad_l = total // 2
+    pad_r = total - pad_l
+    xp = halo_exchange(x, pad_l, axis_name, pad_r, fill=float("-inf"))
+    # temporal VALID over the halo axis; spatial SAME locally
+    ph, pw = _same_pads(window[1:3], x.shape[2:4], strides[1:])
+    return lax.reduce_window(
+        xp,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1,) + tuple(window) + (1,),
+        window_strides=(1,) + tuple(strides) + (1,),
+        padding=[(0, 0), (0, 0), ph, pw, (0, 0)],
+    )
+
+
+def time_sharded_i3d_trunk(
+    mesh: Mesh,
+    variables,
+    time_axis: str = "time",
+    bn_eps: float = 1e-3,
+):
+    """Inference-mode I3D trunk (models.i3d.I3DTrunk) over a TIME-SHARDED
+    long clip: every temporal conv/pool runs with halo exchange, everything
+    else is local — output features are numerically identical to the
+    unsharded trunk, but an arbitrarily long clip is split across the mesh
+    (the long-video capability of SURVEY.md §5).
+
+    The global T must satisfy: T/n_shards divisible by 2 at the stem and at
+    each stride-2 temporal pool (e.g. T=64 over 8 shards).
+    Returns fn(x) for x: (N, T, H, W, C) sharded (None, time)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    from ..models.i3d import INCEPTION_SPECS
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def conv_bn(x, layer_p, layer_s, strides):
+        y = halo_conv3d(x, layer_p["conv"]["kernel"], strides, time_axis)
+        y = (y - layer_s["bn"]["mean"]) * lax.rsqrt(
+            layer_s["bn"]["var"] + bn_eps
+        ) + layer_p["bn"]["bias"]
+        return jax.nn.relu(y)
+
+    def block(x, name):
+        p, st_ = params[name], stats[name]
+        b0 = conv_bn(x, p["b0_1x1"], st_["b0_1x1"], (1, 1, 1))
+        b1 = conv_bn(x, p["b1_1x1"], st_["b1_1x1"], (1, 1, 1))
+        b1 = conv_bn(b1, p["b1_3x3"], st_["b1_3x3"], (1, 1, 1))
+        b2 = conv_bn(x, p["b2_1x1"], st_["b2_1x1"], (1, 1, 1))
+        b2 = conv_bn(b2, p["b2_3x3"], st_["b2_3x3"], (1, 1, 1))
+        b3 = halo_max_pool3d(x, (3, 3, 3), (1, 1, 1), time_axis)
+        b3 = conv_bn(b3, p["b3_1x1"], st_["b3_1x1"], (1, 1, 1))
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+    def local_trunk(x):
+        x = conv_bn(x, params["Conv3d_1a_7x7"], stats["Conv3d_1a_7x7"], (2, 2, 2))
+        x = halo_max_pool3d(x, (1, 3, 3), (1, 2, 2), time_axis)
+        x = conv_bn(x, params["Conv3d_2b_1x1"], stats["Conv3d_2b_1x1"], (1, 1, 1))
+        x = conv_bn(x, params["Conv3d_2c_3x3"], stats["Conv3d_2c_3x3"], (1, 1, 1))
+        x = halo_max_pool3d(x, (1, 3, 3), (1, 2, 2), time_axis)
+        for name in ("Mixed_3b", "Mixed_3c"):
+            x = block(x, name)
+        x = halo_max_pool3d(x, (3, 3, 3), (2, 2, 2), time_axis)
+        for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"):
+            x = block(x, name)
+        x = halo_max_pool3d(x, (2, 2, 2), (2, 2, 2), time_axis)
+        for name in ("Mixed_5b", "Mixed_5c"):
+            x = block(x, name)
+        return x
+
+    sharded = shard_map(
+        local_trunk,
         mesh=mesh,
         in_specs=P(None, time_axis),
         out_specs=P(None, time_axis),

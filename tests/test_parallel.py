@@ -156,3 +156,32 @@ def test_halo_conv_strided_matches_unsharded(kt, st):
         )
     )
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_time_sharded_i3d_trunk_matches_unsharded():
+    """FULL I3D trunk over an 8-way time-sharded 64-frame clip == the
+    unsharded trunk — every temporal conv/pool halo-exchanged exactly
+    (parallel.temporal_halo.time_sharded_i3d_trunk)."""
+    from crowded_scenes_ensemble_classification_tpu.models.i3d import I3DTrunk
+    from crowded_scenes_ensemble_classification_tpu.parallel import (
+        time_sharded_i3d_trunk,
+    )
+
+    mesh = make_mesh((("time", 8),))
+    trunk = I3DTrunk()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 64, 32, 32, 3)) * 50 + 100, jnp.float32)
+    variables = trunk.init(jax.random.key(0), x, train=False)
+    # plant nontrivial BN stats so the BN math is actually exercised
+    variables = jax.tree_util.tree_map(lambda a: a, variables)
+    stats = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.uniform(0.5, 1.5, a.shape), jnp.float32),
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    want = np.asarray(trunk.apply(variables, x, train=False))
+    fn = time_sharded_i3d_trunk(mesh, variables)
+    got = np.asarray(fn(x))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-4)
