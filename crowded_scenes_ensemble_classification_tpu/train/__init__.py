@@ -21,3 +21,9 @@ from .engine import (  # noqa: F401
     store_history,
 )
 from .state import TrainState, get_learning_rate, make_optimizer, set_learning_rate  # noqa: F401
+from .multi_member import (  # noqa: F401
+    make_multi_member_train_step,
+    stack_states,
+    unstack_states,
+    zip_member_batches,
+)
