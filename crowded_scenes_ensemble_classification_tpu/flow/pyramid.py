@@ -15,13 +15,20 @@ from jax import lax
 
 
 def _sep_conv2d(img: jax.Array, ky: np.ndarray, kx: np.ndarray, mode: str = "edge") -> jax.Array:
-    """Separable 2-D correlation with edge-replicated borders."""
+    """TRULY separable 2-D correlation (two 1-D passes — k+k taps instead
+    of k·k) with edge-replicated borders.  The Farnebäck inner loop runs
+    dozens of these per frame pair; separability is a ~5× FLOP cut for the
+    winsize-11 box smoothing."""
     ry, rx = (len(ky) - 1) // 2, (len(kx) - 1) // 2
     x = jnp.pad(img, ((ry, ry), (rx, rx)), mode=mode)
     x = x[None, None]  # NCHW
-    kyx = jnp.asarray(np.outer(ky, kx), jnp.float32)[None, None]
+    kyj = jnp.asarray(ky, jnp.float32).reshape(1, 1, -1, 1)
+    kxj = jnp.asarray(kx, jnp.float32).reshape(1, 1, 1, -1)
     out = lax.conv_general_dilated(
-        x, kyx, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
+        x, kyj, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
+    )
+    out = lax.conv_general_dilated(
+        out, kxj, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
     )
     return out[0, 0]
 
