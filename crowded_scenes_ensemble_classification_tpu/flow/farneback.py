@@ -42,6 +42,7 @@ from .pyramid import (
     gaussian_kernel,
     upsample_flow,
     warp_image,
+    warp_image_separable,
     _sep_conv2d,
 )
 
@@ -135,7 +136,10 @@ def _displacement_update(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("levels", "winsize", "iterations", "poly_n", "poly_sigma")
+    jax.jit,
+    static_argnames=(
+        "levels", "winsize", "iterations", "poly_n", "poly_sigma", "fast_warp"
+    ),
 )
 def farneback_flow_pair(
     prev: jax.Array,
@@ -145,10 +149,17 @@ def farneback_flow_pair(
     iterations: int = 5,
     poly_n: int = 5,
     poly_sigma: float = 1.1,
+    fast_warp: bool = False,
 ) -> jax.Array:
-    """Dense flow prev→curr for two gray float images (H, W) → (H, W, 2)."""
+    """Dense flow prev→curr for two gray float images (H, W) → (H, W, 2).
+
+    fast_warp=True replaces the exact gather-based warp with the
+    shift-accumulate approximation (pyramid.warp_image_separable) — ~10-20×
+    faster on TPU (gathers dominate the exact path); exact for locally
+    smooth flow, slightly soft at motion discontinuities."""
     kernels, Ginv = _poly_exp_setup(poly_n, poly_sigma)
     win = box_kernel(winsize)
+    warp = warp_image_separable if fast_warp else warp_image
 
     pyr_prev = build_pyramid(prev.astype(jnp.float32), levels)
     pyr_curr = build_pyramid(curr.astype(jnp.float32), levels)
@@ -160,7 +171,7 @@ def farneback_flow_pair(
             flow = upsample_flow(flow, p.shape)
         A1, b1 = polynomial_expansion(p, kernels, Ginv)
         for _ in range(iterations):
-            cw = warp_image(c, flow)
+            cw = warp(c, flow)
             A2, b2 = polynomial_expansion(cw, kernels, Ginv)
             flow = _displacement_update(A1, b1, A2, b2, flow, win)
     return flow

@@ -121,3 +121,37 @@ def image_gradients(img: jax.Array) -> Tuple[jax.Array, jax.Array]:
     yp = jnp.pad(img, ((1, 1), (0, 0)), mode="edge")
     gy = (yp[2:, :] - yp[:-2, :]) * 0.5
     return gx, gy
+
+
+def warp_image_separable(
+    img: jax.Array, flow: jax.Array, max_disp: int = 16
+) -> jax.Array:
+    """Gather-free warp: TPU random gathers cost ~50ms per megapixel (the
+    exact `warp_image` spends 97% of Farnebäck's time in them), so this
+    variant decomposes the bilinear resample into shift-and-accumulate
+    passes — Σ_d hat(disp − d) ⊙ shift(img, d) per axis — pure VPU
+    multiply-adds over |2·max_disp+1| statically-shifted copies.
+
+    Approximation: axis passes apply the TARGET pixel's displacement to
+    both taps (exact for locally smooth flow — uniform motion is exact;
+    error is O(∂flow/∂axis) at motion discontinuities).  Displacements are
+    clamped to ±max_disp.  Used by farneback_flow_pair(fast_warp=True).
+    """
+    h, w = img.shape
+    r = max_disp
+    u = jnp.clip(flow[..., 0], -r, r)
+    v = jnp.clip(flow[..., 1], -r, r)
+
+    # y pass: out_y[i, j] = Σ_dy hat(v[i,j] − dy) · img[i+dy, j]
+    padded = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
+    acc = jnp.zeros_like(img)
+    for dy in range(-r, r + 1):
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(v - dy))
+        acc = acc + wgt * lax.dynamic_slice(padded, (r + dy, 0), (h, w))
+    # x pass on the y-warped image
+    padded = jnp.pad(acc, ((0, 0), (r, r)), mode="edge")
+    out = jnp.zeros_like(img)
+    for dx in range(-r, r + 1):
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(u - dx))
+        out = out + wgt * lax.dynamic_slice(padded, (0, r + dx), (h, w))
+    return out

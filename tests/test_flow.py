@@ -108,3 +108,31 @@ def test_rgb_to_gray_matches_cv2(rng):
     ours = np.asarray(rgb_to_gray(jnp.asarray(frame, jnp.float32)))
     ref = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY).astype(np.float32)
     np.testing.assert_allclose(ours, ref, atol=1.0)
+
+
+def test_farneback_fast_warp_recovers_translation(rng):
+    """fast_warp mode (gather-free separable warp) recovers uniform motion
+    exactly like the exact path."""
+    I0, I1 = shifted_pair(rng, dx=2.0, dy=1.0)
+    flow = np.asarray(
+        farneback_flow_pair(jnp.asarray(I0), jnp.asarray(I1), fast_warp=True)
+    )
+    assert abs(np.median(interior(flow[..., 0])) - 2.0) < 0.5
+    assert abs(np.median(interior(flow[..., 1])) - 1.0) < 0.5
+
+
+def test_warp_separable_matches_exact_on_smooth_flow(rng):
+    from crowded_scenes_ensemble_classification_tpu.flow.pyramid import (
+        warp_image,
+        warp_image_separable,
+    )
+
+    img = jnp.asarray(textured_image(rng))
+    # smooth flow field (the regime the approximation targets)
+    gy, gx = np.meshgrid(np.linspace(0, 1, 64), np.linspace(0, 1, 64), indexing="ij")
+    flow = jnp.asarray(
+        np.stack([2.0 + np.sin(gx * 3) * 1.5, -1.0 + np.cos(gy * 3)], -1), jnp.float32
+    )
+    a = np.asarray(warp_image(img, flow))
+    b = np.asarray(warp_image_separable(img, flow))
+    assert np.abs(a - b)[6:-6, 6:-6].mean() < 1.0
