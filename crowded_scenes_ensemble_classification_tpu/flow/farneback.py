@@ -44,6 +44,7 @@ from .pyramid import (
     warp_image,
     warp_image_separable,
     _sep_conv2d,
+    _sep_conv2d_multi,
 )
 
 # reference call-site parameters (train.py:322-324)
@@ -81,15 +82,18 @@ def _poly_exp_setup(poly_n: int, poly_sigma: float):
 def polynomial_expansion(
     img: jax.Array, kernels, Ginv: np.ndarray
 ) -> Tuple[jax.Array, jax.Array]:
-    """→ (A (H,W,2,2), b (H,W,2)) of the local quadratic fit."""
+    """→ (A (H,W,2,2), b (H,W,2)) of the local quadratic fit.
+
+    The 6 weighted moments r_k = Σ w·basis_k·I are packed into ONE
+    depthwise separable conv pair (channels = [r1, rx, rxx, ry, rxy, ryy]
+    with per-channel (ky, kx) kernels) instead of 6 single-channel convs —
+    1-channel convs starve the TPU VPU."""
     g, xg, x2g = kernels
-    # weighted moments  r_k = Σ w·basis_k·I  via separable correlations
-    r1 = _sep_conv2d(img, g, g)
-    rx = _sep_conv2d(img, g, xg)
-    ry = _sep_conv2d(img, xg, g)
-    rxx = _sep_conv2d(img, g, x2g)
-    ryy = _sep_conv2d(img, x2g, g)
-    rxy = _sep_conv2d(img, xg, xg)
+    ky = np.stack([g, g, g, xg, xg, x2g])
+    kx = np.stack([g, xg, x2g, g, xg, g])
+    x6 = jnp.broadcast_to(img[..., None], img.shape + (6,))
+    m = _sep_conv2d_multi(x6, ky, kx)  # (H, W, 6): [r1, rx, rxx, ry, rxy, ryy]
+    r1, rx, rxx, ry, rxy, ryy = (m[..., i] for i in range(6))
     r = jnp.stack([r1, rx, ry, rxx, ryy, rxy], axis=-1)  # (H, W, 6)
     coef = r @ jnp.asarray(Ginv).T  # (H, W, 6): [c, bx, by, axx, ayy, axy]
 
@@ -119,14 +123,14 @@ def _displacement_update(
     AtA = jnp.einsum("hwki,hwkj->hwij", A, A)  # (H, W, 2, 2)
     Atb = jnp.einsum("hwki,hwk->hwi", A, db)  # (H, W, 2)
 
-    def smooth(x):
-        return _sep_conv2d(x, win, win)
-
-    g11 = smooth(AtA[..., 0, 0])
-    g12 = smooth(AtA[..., 0, 1])
-    g22 = smooth(AtA[..., 1, 1])
-    h1 = smooth(Atb[..., 0])
-    h2 = smooth(Atb[..., 1])
+    # all 5 window averages in one depthwise conv pair
+    stacked = jnp.stack(
+        [AtA[..., 0, 0], AtA[..., 0, 1], AtA[..., 1, 1], Atb[..., 0], Atb[..., 1]],
+        axis=-1,
+    )
+    win5 = np.stack([win] * 5)
+    sm = _sep_conv2d_multi(stacked, win5, win5)
+    g11, g12, g22, h1, h2 = (sm[..., i] for i in range(5))
 
     det = g11 * g22 - g12 * g12
     det = jnp.where(jnp.abs(det) < eps, eps, det)

@@ -33,6 +33,31 @@ def _sep_conv2d(img: jax.Array, ky: np.ndarray, kx: np.ndarray, mode: str = "edg
     return out[0, 0]
 
 
+def _sep_conv2d_multi(x_hwc: jax.Array, ky_stack: np.ndarray, kx_stack: np.ndarray,
+                      mode: str = "edge") -> jax.Array:
+    """Depthwise separable 2-D correlation over a multi-channel (H, W, C)
+    image: channel c is correlated with (ky_stack[c], kx_stack[c]).  Packs
+    what would be C independent single-channel convs into ONE depthwise
+    conv pair — the difference between 1-channel convs (VPU-starved) and
+    C-channel ones on TPU."""
+    h, w, c = x_hwc.shape
+    ry = (ky_stack.shape[1] - 1) // 2
+    rx = (kx_stack.shape[1] - 1) // 2
+    x = jnp.pad(x_hwc, ((ry, ry), (rx, rx), (0, 0)), mode=mode)
+    x = x.transpose(2, 0, 1)[None]  # NCHW, N=1
+    ky = jnp.asarray(ky_stack, jnp.float32).reshape(c, 1, -1, 1)
+    kx = jnp.asarray(kx_stack, jnp.float32).reshape(c, 1, 1, -1)
+    out = lax.conv_general_dilated(
+        x, ky, (1, 1), "VALID", feature_group_count=c,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    out = lax.conv_general_dilated(
+        out, kx, (1, 1), "VALID", feature_group_count=c,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0].transpose(1, 2, 0)
+
+
 def gaussian_kernel(sigma: float, radius: int | None = None) -> np.ndarray:
     if radius is None:
         radius = int(4.0 * sigma + 0.5)
