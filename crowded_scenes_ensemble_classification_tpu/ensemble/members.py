@@ -61,7 +61,9 @@ def make_member_forward(
 
                 gray = batch["gray"].astype(jnp.float32)[..., 0]
                 gray_next = batch["gray_next"].astype(jnp.float32)[..., 0]
-                flows = jax.vmap(jax.vmap(farneback_flow_pair))(gray, gray_next)
+                flows = jax.vmap(
+                    jax.vmap(lambda a, b: farneback_flow_pair(a, b, fast_warp=True))
+                )(gray, gray_next)
                 inputs["flow"] = identity_resize_batch(flows, out_hw)
 
         def one_member(variables):
