@@ -27,7 +27,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pyramid import build_pyramid, image_gradients, upsample_flow, warp_image
+from .pyramid import (
+    build_pyramid,
+    image_gradients,
+    upsample_flow,
+    warp_image,
+    warp_image_separable,
+)
 
 
 def _forward_grad(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -46,7 +52,7 @@ def _divergence(px: jax.Array, py: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("levels", "warps", "inner_iters"),
+    static_argnames=("levels", "warps", "inner_iters", "fast_warp"),
 )
 def tvl1_flow_pair(
     prev: jax.Array,
@@ -58,6 +64,7 @@ def tvl1_flow_pair(
     lambda_: float = 0.15,
     theta: float = 0.3,
     eps_grad: float = 1e-6,
+    fast_warp: bool = False,
 ) -> jax.Array:
     """Dense TV-L1 flow prev→curr: (H, W) gray floats → (H, W, 2).
 
@@ -83,11 +90,12 @@ def tvl1_flow_pair(
             flow = upsample_flow(flow, I0.shape)
         I1x_full, I1y_full = image_gradients(I1)
 
+        warp = warp_image_separable if fast_warp else warp_image
         for _ in range(warps):
             u0 = flow
-            I1w = warp_image(I1, u0)
-            I1wx = warp_image(I1x_full, u0)
-            I1wy = warp_image(I1y_full, u0)
+            I1w = warp(I1, u0)
+            I1wx = warp(I1x_full, u0)
+            I1wy = warp(I1y_full, u0)
             grad2 = I1wx**2 + I1wy**2
             # constant part of the residual: ρ(u) = ρc + I1wx·u + I1wy·v
             rho_c = I1w - I1wx * u0[..., 0] - I1wy * u0[..., 1] - I0

@@ -136,3 +136,12 @@ def test_warp_separable_matches_exact_on_smooth_flow(rng):
     a = np.asarray(warp_image(img, flow))
     b = np.asarray(warp_image_separable(img, flow))
     assert np.abs(a - b)[6:-6, 6:-6].mean() < 1.0
+
+
+def test_tvl1_fast_warp_recovers_translation(rng):
+    I0, I1 = shifted_pair(rng, dx=1.5, dy=-1.0)
+    flow = np.asarray(
+        tvl1_flow_pair(jnp.asarray(I0), jnp.asarray(I1), fast_warp=True)
+    )
+    assert abs(np.median(interior(flow[..., 0])) - 1.5) < 0.5
+    assert abs(np.median(interior(flow[..., 1])) + 1.0) < 0.5
