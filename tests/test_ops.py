@@ -346,3 +346,20 @@ def test_crowd11_augment_batch_vmap(rng):
     assert out.shape == (3, 2, 32, 32, 3)
     # per-sample keys differ → different augmentations (almost surely)
     assert not np.array_equal(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_sequential_random_order_applies_all(rng):
+    """Random-order Sequential applies every transform exactly once
+    (vidaug group.py:25-49 with random_order=True)."""
+    clip = jnp.zeros((1, 4, 4, 1))
+    tf = group.sequential(
+        [lambda c, k: c + 1, lambda c, k: c * 2, lambda c, k: c + 10],
+        random_order=True,
+    )
+    seen = set()
+    for seed in range(12):
+        out = float(np.asarray(tf(clip, jax.random.key(seed)))[0, 0, 0, 0])
+        seen.add(out)
+        # all permutation results of {+1, *2, +10} from 0:
+        assert out in {12.0, 22.0, 11.0, 21.0, 12.0, 2.0 + 10.0}
+    assert len(seen) >= 2  # the order actually varies
