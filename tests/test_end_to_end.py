@@ -123,6 +123,18 @@ def test_train_members_and_ensemble(workspace, tmp_path):
         config, layout, 0, "test", bundle=bundle, staging_hw=(40, 40)
     ) == path
 
+    # train_val subset = concat(train, val) (evaluate_ensemble.py:1079-1108)
+    tv_path = cache_probabilities(
+        config, layout, 0, "train_val", bundle=bundle, staging_hw=(40, 40),
+        num_workers=2,
+    )
+    tv = load_probabilities(tv_path)
+    import pandas as pd
+
+    n_train = len(pd.read_csv(layout.split_csv(0, 1, "train")))
+    n_val = len(pd.read_csv(layout.split_csv(0, 1, "val")))
+    assert tv["probs"].shape[1] == n_train + n_val
+
     # homogeneous fusion over fold 0 with SUM and VALIDATION_ERROR_INVERSE
     def provider(t, subset):
         return load_probabilities(
