@@ -138,3 +138,20 @@ def test_maxpool_pallas_on_tpu():
     out = max_pool_3x3x3_same(x)
     ref = nn.max_pool(x, (3, 3, 3), (1, 1, 1), "SAME")
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_stem_conv_kernel_interpret():
+    """Pallas stem patch-matmul == TF-SAME 7³/2 conv (interpret mode)."""
+    from jax import lax
+    from crowded_scenes_ensemble_classification_tpu.ops.pallas.stem_conv import (
+        stem_conv_7x7x7_s2,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 8, 56, 56, 3)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(7, 7, 7, 3, 16)) * 0.1, jnp.float32)
+    got = stem_conv_7x7x7_s2(x, k, interpret=True)
+    ref = lax.conv_general_dilated(
+        x, k, (2, 2, 2), "SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC")
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
