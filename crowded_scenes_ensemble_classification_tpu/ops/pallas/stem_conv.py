@@ -34,19 +34,30 @@ CHUNK_ROWS = 14  # output rows per in-kernel matmul chunk
 
 def _stem_kernel(s0, s1, s2, s3, w_ref, o_ref, *, h_out: int, w_out: int):
     """s0..s3: (1, 1, H2, W2, 8C) temporal slabs t..t+3; w: (4·4·4·8C, F);
-    o: (1, 1, h_out, w_out, F)."""
-    slabs = [s0, s1, s2, s3]
+    o: (1, 1, h_out, w_out, F).
+
+    Mosaic requires matching sublane offsets for lane-concat inputs, so the
+    dx taps are realized with pltpu.roll along W (physical shift → offset-0
+    layout) instead of offset slices."""
     f = w_ref.shape[-1]
+    # 16 pre-rolled views: (dt, dx) → slab shifted dx along W
+    rolled = []
+    for dt, s in enumerate((s0, s1, s2, s3)):
+        slab = s[0, 0]
+        w2 = slab.shape[1]
+        # pltpu.roll requires non-negative shifts: W2−dx ≡ −dx (mod W2)
+        rolled.append([
+            pltpu.roll(slab, w2 - dx, 1) if dx else slab for dx in range(4)
+        ])
     n_chunks = h_out // CHUNK_ROWS
     for c in range(n_chunks):
         r0 = c * CHUNK_ROWS
         parts = []
         for dt in range(4):
-            slab = slabs[dt][0, 0]
             for dy in range(4):
                 for dx in range(4):
                     parts.append(
-                        slab[r0 + dy : r0 + dy + CHUNK_ROWS, dx : dx + w_out, :]
+                        rolled[dt][dx][r0 + dy : r0 + dy + CHUNK_ROWS, 0:w_out, :]
                     )
         patches = jnp.concatenate(parts, axis=-1)  # (CHUNK, w_out, 64·8C)
         patches = patches.reshape(CHUNK_ROWS * w_out, -1)
