@@ -40,28 +40,32 @@ def _stem_kernel(s0, s1, s2, s3, w_ref, o_ref, *, h_out: int, w_out: int):
     dx taps are realized with pltpu.roll along W (physical shift → offset-0
     layout) instead of offset slices."""
     f = w_ref.shape[-1]
-    # 16 pre-rolled views: (dt, dx) → slab shifted dx along W
-    rolled = []
-    for dt, s in enumerate((s0, s1, s2, s3)):
-        slab = s[0, 0]
-        w2 = slab.shape[1]
-        # pltpu.roll requires non-negative shifts: W2−dx ≡ −dx (mod W2)
-        rolled.append([
-            pltpu.roll(slab, w2 - dx, 1) if dx else slab for dx in range(4)
-        ])
+    slabs = (s0, s1, s2, s3)
+    w2 = s0.shape[3]
     n_chunks = h_out // CHUNK_ROWS
     for c in range(n_chunks):
         r0 = c * CHUNK_ROWS
         parts = []
         for dt in range(4):
+            # slice the chunk's row band FIRST (keeps the rolled temporary
+            # small), cast to f32 for pltpu.roll (rotate needs 32-bit data)
+            band = slabs[dt][0, 0, r0 : r0 + CHUNK_ROWS + 3, :, :].astype(
+                jnp.float32
+            )
+            # W2−dx ≡ −dx (mod W2): brings column j+dx to offset-0 layout
+            shifted = [
+                pltpu.roll(band, w2 - dx, 1) if dx else band for dx in range(4)
+            ]
+            # weight layout is (dt, dy, dx)-major — keep that order
             for dy in range(4):
                 for dx in range(4):
-                    parts.append(
-                        rolled[dt][dx][r0 + dy : r0 + dy + CHUNK_ROWS, 0:w_out, :]
-                    )
+                    parts.append(shifted[dx][dy : dy + CHUNK_ROWS, 0:w_out, :])
         patches = jnp.concatenate(parts, axis=-1)  # (CHUNK, w_out, 64·8C)
         patches = patches.reshape(CHUNK_ROWS * w_out, -1)
-        out = jnp.dot(patches, w_ref[:], preferred_element_type=jnp.float32)
+        out = jnp.dot(
+            patches, w_ref[:].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
         o_ref[0, 0, r0 : r0 + CHUNK_ROWS] = out.reshape(
             CHUNK_ROWS, w_out, f
         ).astype(o_ref.dtype)
