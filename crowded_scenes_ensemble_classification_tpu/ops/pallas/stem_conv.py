@@ -47,19 +47,16 @@ def _stem_kernel(s0, s1, s2, s3, w_ref, o_ref, *, h_out: int, w_out: int):
         r0 = c * CHUNK_ROWS
         parts = []
         for dt in range(4):
-            # slice the chunk's row band FIRST (keeps the rolled temporary
-            # small), cast to f32 for pltpu.roll (rotate needs 32-bit data)
-            band = slabs[dt][0, 0, r0 : r0 + CHUNK_ROWS + 3, :, :].astype(
-                jnp.float32
-            )
-            # W2−dx ≡ −dx (mod W2): brings column j+dx to offset-0 layout
-            shifted = [
-                pltpu.roll(band, w2 - dx, 1) if dx else band for dx in range(4)
-            ]
-            # weight layout is (dt, dy, dx)-major — keep that order
             for dy in range(4):
+                # REF slice → fresh offset-0 load (vector slices carry
+                # layout offsets Mosaic can't concat on non-concat dims)
+                band = slabs[dt][
+                    0, 0, r0 + dy : r0 + dy + CHUNK_ROWS, :, :
+                ].astype(jnp.float32)
                 for dx in range(4):
-                    parts.append(shifted[dx][dy : dy + CHUNK_ROWS, 0:w_out, :])
+                    # W2−dx ≡ −dx (mod W2): column j+dx at offset-0 layout
+                    shifted = pltpu.roll(band, w2 - dx, 1) if dx else band
+                    parts.append(shifted[:, 0:w_out, :])
         patches = jnp.concatenate(parts, axis=-1)  # (CHUNK, w_out, 64·8C)
         patches = patches.reshape(CHUNK_ROWS * w_out, -1)
         out = jnp.dot(
