@@ -18,6 +18,15 @@ This kernel restores the contraction dimension:
 
 Parity: identical math to the canonical stem (weights are rearranged
 in-graph from the checkpoint's (7,7,7,C,64) layout).
+
+STATUS: EXPERIMENTAL — exact in interpret mode (tests), but the Mosaic
+compiler currently rejects the patch concat on-device: it folds the
+pltpu.roll taps back into lazy layout offsets and then hits
+"result/input offset mismatch on non-concat dimension" (sublane offsets
+follow the dx taps).  Known paths forward (NEXT.md): assemble patches in a
+VMEM scratch with the tap index on an untiled leading dim + a multi-dim
+dot_general, or 128-lane-aligned channel padding of the s2d input.  Not
+wired into the model yet; XLA remains the stem default.
 """
 
 from __future__ import annotations
