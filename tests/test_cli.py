@@ -165,3 +165,36 @@ def test_ensemble_and_report_cli_from_cached_probs(tmp_path, capsys):
         "--num-classes", "3", "--operation", "confusion",
     ])
     assert rc == 0
+
+
+def test_member_cli_commands_parse():
+    """The sbatch-parity command list must round-trip through our own CLI
+    parser (reference emitted positional sbatch relays that silently broke
+    on reorder; ours are validated flags)."""
+    from crowded_scenes_ensemble_classification_tpu.core.config import (
+        ExperimentConfig,
+    )
+    from crowded_scenes_ensemble_classification_tpu.orchestration import (
+        member_cli_commands,
+    )
+
+    cfg = ExperimentConfig(
+        model_type="R3D_50",
+        training_condition="_SCRATCH",
+        folds_number=3,
+        augmentation_status="augmented_onTheFly",
+        optical_flow_status="TVL1_precomputed",
+        batch_size=8,
+        epochs=42,
+    )
+    parser = build_parser()
+    cmds = member_cli_commands(cfg, "/tmp/w")
+    assert len(cmds) == 6
+    for cmd in cmds:
+        argv = cmd.split()[2:]  # strip "python -m"
+        assert argv[0] == "crowded_scenes_ensemble_classification_tpu"
+        args = parser.parse_args(argv[1:])
+        assert args.command == "train"
+        assert args.model_type == "R3D_50"
+        assert args.epochs == 42
+        assert 0 <= args.test_index < 3 and args.test_index != args.val_index
