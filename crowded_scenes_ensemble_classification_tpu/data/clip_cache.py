@@ -87,9 +87,12 @@ class ClipCacheWriter:
         self.lib = _load_library()
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self.path = path
-        self.handle = self.lib.cc_writer_open(path.encode())
+        # Write to a sidecar and rename into place in finish() so a crash
+        # mid-populate never leaves a partial shard at the final path.
+        self.tmp_path = path + ".tmp"
+        self.handle = self.lib.cc_writer_open(self.tmp_path.encode())
         if not self.handle:
-            raise IOError(f"cannot open {path} for writing")
+            raise IOError(f"cannot open {self.tmp_path} for writing")
         self.keys: Dict[str, int] = {}
 
     def add(self, key: str, clip: np.ndarray, label: int) -> int:
@@ -109,6 +112,7 @@ class ClipCacheWriter:
         self.handle = None
         with open(self.path + ".keys.json", "w") as f:
             json.dump(self.keys, f)
+        os.replace(self.tmp_path, self.path)
         return self.path
 
 
@@ -190,7 +194,16 @@ class CachingClipSource:
         self.num_threads = num_threads
         self.reader: Optional[ClipCacheReader] = None
         if os.path.exists(cache_file):
-            self.reader = ClipCacheReader(cache_file)
+            try:
+                reader = ClipCacheReader(cache_file)
+            except IOError:
+                reader = None
+            if reader is not None and len(reader) != len(self.df):
+                # stale/mismatched shard — drop it so populate() rebuilds
+                reader.close()
+                os.remove(cache_file)
+                reader = None
+            self.reader = reader
 
     @property
     def ready(self) -> bool:

@@ -97,11 +97,18 @@ def decode_clip(
         sel = select_frame_indices(len(frames), num_frames)
         frames = [frames[i] for i in sel]
     else:
-        # cycle if the container lied about its frame count
-        while len(frames) < num_frames:
-            frames.append(frames[len(frames) % max(len(frames), 1)])
-        frames = frames[:num_frames]
+        frames = _pad_cycle(frames, num_frames)
     return np.stack(frames)
+
+
+def _pad_cycle(frames: list, num_frames: int) -> list:
+    """Pad a too-short decoded list by cycling [f0, f1, ...] — the
+    select_frame_indices cycle rule — indexing into the *decoded* prefix,
+    not the growing list (used when the container lied about its length)."""
+    n0 = len(frames)
+    while len(frames) < num_frames:
+        frames.append(frames[len(frames) % n0])
+    return frames[:num_frames]
 
 
 def _stage_frame(frame: np.ndarray, staging_hw, gray: bool) -> np.ndarray:

@@ -29,6 +29,13 @@ import jax.numpy as jnp
 
 from .common import ConvBN, S2DStemConvBN, avg_pool_3d, flatten, max_pool_3d
 
+@functools.lru_cache(maxsize=1)
+def _default_platform() -> str:
+    """Cached once per process — pool_impl='auto' must not re-query the
+    device list on every trace (fragile under AOT / multi-backend)."""
+    return jax.devices()[0].platform
+
+
 # (b0_1x1, b1_1x1, b1_3x3, b2_1x1, b2_3x3, b3_pool_proj) per inception block.
 INCEPTION_SPECS = {
     "Mixed_3b": (64, 96, 128, 16, 32, 32),
@@ -66,7 +73,7 @@ class InceptionBlock(nn.Module):
         branch_2 = cbn(b2_c, (3, 3, 3), "b2_3x3")(branch_2, train)
         use_pallas = self.pool_impl == "pallas" or (
             self.pool_impl == "auto"
-            and jax.devices()[0].platform == "tpu"
+            and _default_platform() == "tpu"
             # measured on v5e: the pallas kernel wins at the 56² level
             # (1.75×) and loses at ≤28² where chunk overhead dominates
             and int(x.shape[2]) * int(x.shape[3]) >= 56 * 56

@@ -55,7 +55,10 @@ def _write_layer(root: h5py.Group, layer: str, weights: Dict[str, np.ndarray]):
     names = []
     for base, arr in weights.items():
         full = f"{layer}/{base}:0"
-        g.create_dataset(full.split("/", 1)[1], data=np.asarray(arr))
+        # Keras 2.x load_weights resolves g[weight_name] with the full
+        # 'layer/base:0' name relative to the layer group, so the dataset
+        # must live at that nested path (h5py creates the inner group).
+        g.create_dataset(full, data=np.asarray(arr))
         names.append(full.encode())
     g.attrs["weight_names"] = names
 

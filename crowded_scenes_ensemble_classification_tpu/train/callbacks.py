@@ -58,7 +58,8 @@ class ReduceLROnPlateau:
         if self.cooldown_counter > 0:
             return lr
         self.wait += 1
-        if self.wait > self.patience:
+        # Keras triggers on wait >= patience (the patience-th bad epoch)
+        if self.wait >= self.patience:
             new_lr = max(lr * self.factor, self.min_lr)
             self.cooldown_counter = self.cooldown
             self.wait = 0
@@ -81,7 +82,8 @@ class EarlyStopping:
             self.wait = 0
             return False
         self.wait += 1
-        return self.wait > self.patience
+        # Keras stops on wait >= patience
+        return self.wait >= self.patience
 
 
 @dataclasses.dataclass

@@ -119,7 +119,10 @@ def make_train_step(
             )
             ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
             w = mask * class_weights[labels]
-            loss = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+            # Keras class_weight semantics: mean over the batch of ce*w
+            # (divide by the valid-sample count, not Σw — the latter would
+            # rescale gradients by the batch's mean class weight).
+            loss = jnp.sum(ce * w) / jnp.maximum(jnp.sum(mask), 1.0)
             if l2_weight > 0.0:
                 loss = loss + l2_param_penalty(params, l2_weight)
             acc = jnp.sum((jnp.argmax(logits, -1) == labels) * mask) / jnp.maximum(
@@ -142,7 +145,6 @@ def make_train_step(
         return new_state, {"loss": loss, "accuracy": acc}
 
     if mesh is not None:
-        repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(data_axis))
         def train_step_sharded(state, batch, class_weights):
             batch = {
@@ -181,7 +183,6 @@ def make_eval_step(
         }
 
     if mesh is not None:
-        repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(data_axis))
         def eval_step_sharded(variables, batch):
             batch = {

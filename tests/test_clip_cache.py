@@ -115,3 +115,45 @@ def test_pipeline_with_cache(tmp_path):
     assert again.source.ready
     for a, b in zip(b_plain, again.batches(0)):
         np.testing.assert_array_equal(a["rgb"], b["rgb"])
+
+
+def test_interrupted_populate_never_corrupts(tmp_path):
+    """A crash mid-populate leaves no file at the final path; the next
+    run rebuilds from scratch (writer goes through a .tmp sidecar)."""
+    rng = np.random.default_rng(1)
+    path = str(tmp_path / "clips.ccache")
+    w = ClipCacheWriter(path)
+    w.add("clip0", rng.integers(0, 256, (4, 8, 8, 3)).astype(np.uint8), 0)
+    del w  # simulated crash: finish() never runs
+    assert not os.path.exists(path)
+    assert os.path.exists(path + ".tmp")
+
+    df = pd.DataFrame({"path": ["a", "b"], "class": [0, 1]})
+    clips = [rng.integers(0, 256, (4, 8, 8, 3)).astype(np.uint8) for _ in df.index]
+
+    def source(row):
+        i = {"a": 0, "b": 1}[row["path"]]
+        return {"rgb": clips[i], "label": int(row["class"])}
+
+    src = CachingClipSource(source, df, path)
+    assert not src.ready
+    src.populate()
+    assert src.ready and os.path.exists(path)
+    out = src(df.iloc[1])
+    np.testing.assert_array_equal(out["rgb"], clips[1])
+
+
+def test_stale_shard_dropped(tmp_path):
+    """A shard whose clip count mismatches the dataframe is discarded."""
+    rng = np.random.default_rng(2)
+    path = str(tmp_path / "clips.ccache")
+    w = ClipCacheWriter(path)
+    w.add("old", rng.integers(0, 256, (4, 8, 8, 3)).astype(np.uint8), 0)
+    w.finish()
+
+    df = pd.DataFrame({"path": ["a", "b", "c"], "class": [0, 1, 2]})
+    clip = rng.integers(0, 256, (4, 8, 8, 3)).astype(np.uint8)
+    src = CachingClipSource(lambda row: {"rgb": clip, "label": 0}, df, path)
+    assert not src.ready  # 1-clip shard != 3-row df → dropped
+    src.populate()
+    assert src.ready and len(src.reader) == 3

@@ -142,3 +142,17 @@ def test_class_weights_balanced():
     labels = [0, 0, 0, 1]
     w = class_weights_balanced(labels, 2)
     np.testing.assert_allclose(w, [4 / (2 * 3), 4 / (2 * 1)])
+
+
+def test_decode_pad_cycle_rule():
+    """Short-decode padding must cycle [f0, f1, ...] over the decoded
+    prefix (the select_frame_indices rule), not repeat f0 forever."""
+    from crowded_scenes_ensemble_classification_tpu.data.video_io import _pad_cycle
+
+    frames = [np.full((2, 2, 3), i, np.uint8) for i in range(5)]
+    padded = _pad_cycle(list(frames), 8)
+    got = [int(f[0, 0, 0]) for f in padded]
+    assert got == [0, 1, 2, 3, 4, 0, 1, 2]
+    # longer-than-one-cycle padding
+    padded = _pad_cycle(frames[:2], 7)
+    assert [int(f[0, 0, 0]) for f in padded] == [0, 1, 0, 1, 0, 1, 0]

@@ -42,7 +42,7 @@ def tiny_c3d_bundle(num_classes=3):
     )
 
 
-def test_optimizer(lr=2e-3):
+def _adam_for_tests(lr=2e-3):
     import optax
 
     return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
@@ -82,7 +82,7 @@ def test_fit_learns_synthetic(synth, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         input_scale=1 / 255.0,
         lr_policy=LRPolicy(initial_lr=2e-3),
-        optimizer=test_optimizer(),
+        optimizer=_adam_for_tests(),
     )
     hist = result["history"]
     assert len(hist["val_loss"]) >= 1
@@ -109,7 +109,7 @@ def test_fit_on_virtual_mesh(synth, tmp_path):
     train_pipe, val_pipe = make_pipes(synth, bundle)
     result = fit(
         bundle, train_pipe, val_pipe, epochs=1, seed=0, mesh=mesh,
-        input_scale=1 / 255.0, optimizer=test_optimizer(),
+        input_scale=1 / 255.0, optimizer=_adam_for_tests(),
     )
     assert len(result["history"]["loss"]) == 1
     assert math.isfinite(result["history"]["loss"][0])
@@ -127,7 +127,7 @@ def test_fit_balanced_and_augmented(synth):
         augment_p=0.75,
         balanced_classes=True,
         input_scale=1 / 255.0,
-        optimizer=test_optimizer(),
+        optimizer=_adam_for_tests(),
     )
     assert math.isfinite(result["history"]["loss"][0])
 
@@ -164,8 +164,14 @@ def test_early_stopping():
     e = EarlyStopping(patience=2)
     assert not e.update(1.0)
     assert not e.update(1.1)
-    assert not e.update(1.2)
-    assert e.update(1.3)  # third consecutive non-improvement > patience
+    # Keras fires on wait >= patience: the 2nd consecutive non-improvement
+    assert e.update(1.2)
+    e2 = EarlyStopping(patience=2)
+    assert not e2.update(1.0)
+    assert not e2.update(1.1)
+    assert not e2.update(0.5)  # improvement resets the counter
+    assert not e2.update(0.6)
+    assert e2.update(0.7)
 
 
 def test_lr_policy_table():

@@ -129,3 +129,25 @@ def test_merge_pretrained_shape_mismatch_raises():
     b = {"params": {"fc": {"kernel": np.zeros((4, 3))}}}
     with pytest.raises(ValueError):
         wio.merge_pretrained(a, b)
+
+
+def test_write_keras_h5_keras2_layout(tmp_path):
+    """Keras 2.x load_weights resolves layer_group[weight_name] where
+    weight_name is the full 'layer/base:0' string from the weight_names
+    attr — the dataset must exist at that nested path (ADVICE r1)."""
+    import h5py
+
+    bundle = build_model("C3D", num_classes=11)
+    variables = bundle.init(jax.random.key(0))
+    path = str(tmp_path / "c3d.h5")
+    wio.write_keras_h5(path, wio.c3d_variables_to_keras(variables))
+    def _s(x):
+        return x.decode() if isinstance(x, bytes) else str(x)
+
+    with h5py.File(path, "r") as f:
+        for layer in f.attrs["layer_names"]:
+            g = f[_s(layer)]
+            for wname in g.attrs["weight_names"]:
+                # exactly what keras Network.load_weights does:
+                ds = g[_s(wname)]
+                assert isinstance(ds, h5py.Dataset)
