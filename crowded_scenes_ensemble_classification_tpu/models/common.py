@@ -144,25 +144,10 @@ def s2d_stem_conv(x: jax.Array, kernel: jax.Array) -> jax.Array:
 
     Requires even H and W.  x: (N, T, H, W, C); kernel: (7, 7, 7, C, F).
     """
-    n, t, h, w, c = x.shape
-    kt, kh, kw, kc, f = kernel.shape
-    assert (kt, kh, kw) == (7, 7, 7) and kc == c
-    assert h % 2 == 0 and w % 2 == 0, "s2d stem needs even spatial dims"
-
-    # SAME pads for stride 2 / 7 taps are (2, 3); add one extra trailing pad
-    # so the 7-tap window becomes an 8-tap (zero-extended) window that
-    # factorizes into 4 s2d rows.
-    xp = jnp.pad(x, ((0, 0), (0, 0), (2, 4), (2, 4), (0, 0)))
-    hp, wp = h + 6, w + 6
-    # space-to-depth: (N, T, hp/2, 2, wp/2, 2, C) → channels (ph_h, ph_w, C)
-    xs = xp.reshape(n, t, hp // 2, 2, wp // 2, 2, c)
-    xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(n, t, hp // 2, wp // 2, 4 * c)
-
-    # kernel: zero-extend 7→8 taps per spatial axis, then factor each axis
-    # into (row, phase); channel order must match (ph_h, ph_w, C) above.
-    k8 = jnp.pad(kernel, ((0, 0), (0, 1), (0, 1), (0, 0), (0, 0)))
-    k8 = k8.reshape(kt, 4, 2, 4, 2, c, f)  # (t, kh', ph_h, kw', ph_w, C, F)
-    k8 = k8.transpose(0, 1, 3, 2, 4, 5, 6).reshape(kt, 4, 4, 4 * c, f)
+    # SAME pads for stride 2 / 7 taps are (2, 3); _s2d_form adds one extra
+    # trailing pad so the 7-tap window becomes an 8-tap (zero-extended)
+    # window that factorizes into 4 s2d rows.
+    xs, k8 = _s2d_form(x, kernel)
 
     out = jax.lax.conv_general_dilated(
         xs,
@@ -172,6 +157,72 @@ def s2d_stem_conv(x: jax.Array, kernel: jax.Array) -> jax.Array:
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
     return out
+
+
+def _s2d_form(x: jax.Array, kernel: jax.Array):
+    """Shared front half of the s2d stem variants: returns (xs, k8) with
+    xs (N, T, H/2+3, W/2+3, 4C) and k8 (7, 4, 4, 4C, F) such that the stem
+    conv equals conv(xs, k8, strides (2,1,1), temporal SAME pads (2,3))."""
+    n, t, h, w, c = x.shape
+    kt, kh, kw, kc, f = kernel.shape
+    assert (kt, kh, kw) == (7, 7, 7) and kc == c
+    assert h % 2 == 0 and w % 2 == 0, "s2d stem needs even spatial dims"
+    xp = jnp.pad(x, ((0, 0), (0, 0), (2, 4), (2, 4), (0, 0)))
+    hp, wp = h + 6, w + 6
+    xs = xp.reshape(n, t, hp // 2, 2, wp // 2, 2, c)
+    xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(n, t, hp // 2, wp // 2, 4 * c)
+    k8 = jnp.pad(kernel, ((0, 0), (0, 1), (0, 1), (0, 0), (0, 0)))
+    k8 = k8.reshape(kt, 4, 2, 4, 2, c, f)
+    k8 = k8.transpose(0, 1, 3, 2, 4, 5, 6).reshape(kt, 4, 4, 4 * c, f)
+    return xs, k8
+
+
+def s2d_stem_conv_wfold(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """s2d stem with the 4 width taps ALSO folded into channels: the conv
+    contracts over K = 4·4C (48 for RGB) instead of 4C.  Exact rewrite;
+    trades one lane-dim concat (4× the s2d input) for a 4×-deeper MXU
+    contraction.  (Reference op: the 7³/2 stem, train.py:1026.)"""
+    xs, k8 = _s2d_form(x, kernel)
+    n, t, hs, ws, c4 = xs.shape
+    wo = ws - 3  # output width
+    xf = jnp.concatenate(
+        [xs[:, :, :, dw : dw + wo, :] for dw in range(4)], axis=-1
+    )  # (N, T, hs, wo, 4·4C) — (dw, c) minor order
+    kf = k8.reshape(k8.shape[0], 4, 1, 4 * c4, -1)
+    return jax.lax.conv_general_dilated(
+        xf,
+        kf,
+        window_strides=(2, 1, 1),
+        padding=[(2, 3), (0, 0), (0, 0)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def s2d_stem_conv_hwfold(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """s2d stem with BOTH the 4 height and 4 width taps folded into
+    channels: the conv becomes kernel (7,1,1) contracting over K = 16·4C
+    (192 for RGB) — a full-depth MXU contraction with an unpadded lane
+    dim, at the cost of a 16× staging concat.  Exact rewrite.
+    (Reference op: the 7³/2 stem, train.py:1026.)"""
+    xs, k8 = _s2d_form(x, kernel)
+    n, t, hs, ws, c4 = xs.shape
+    ho, wo = hs - 3, ws - 3
+    xf = jnp.concatenate(
+        [
+            xs[:, :, dh : dh + ho, dw : dw + wo, :]
+            for dh in range(4)
+            for dw in range(4)
+        ],
+        axis=-1,
+    )  # (N, T, ho, wo, 16·4C) — (dh, dw, c) minor order
+    kf = k8.reshape(k8.shape[0], 1, 1, 16 * c4, -1)
+    return jax.lax.conv_general_dilated(
+        xf,
+        kf,
+        window_strides=(2, 1, 1),
+        padding=[(2, 3), (0, 0), (0, 0)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
 
 
 class _ConvKernel(nn.Module):

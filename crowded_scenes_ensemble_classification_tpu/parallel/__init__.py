@@ -19,6 +19,11 @@ from .streaming import (  # noqa: F401
     streaming_predict_batch,
     window_starts,
 )
+from .halo_train import (  # noqa: F401
+    halo_conv_bn_relu_train,
+    make_time_sharded_convbn_train_step,
+    update_running_stats,
+)
 from .temporal_halo import (  # noqa: F401
     halo_conv3d,
     halo_exchange,

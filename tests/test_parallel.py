@@ -185,3 +185,105 @@ def test_time_sharded_i3d_trunk_matches_unsharded():
     got = np.asarray(fn(x))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-4)
+
+
+# ---------------------------------------------------- halo-sharded TRAINING
+
+
+class _ConvBNStack(__import__("flax.linen", fromlist=["nn"]).Module):
+    """Unsharded oracle: ConvBN(stem 7³/2) → maxpool 3³/2 → ConvBN(3³),
+    the I3D building-block pattern (reference conv3d_bn train.py:615-670)."""
+
+    @__import__("flax.linen", fromlist=["nn"]).compact
+    def __call__(self, x, train: bool = True):
+        from crowded_scenes_ensemble_classification_tpu.models.common import (
+            ConvBN,
+            max_pool_3d,
+        )
+
+        x = ConvBN(6, (7, 3, 3), strides=(2, 2, 2), name="l0")(x, train)
+        x = max_pool_3d(x, (3, 3, 3), (2, 2, 2), "SAME")
+        x = ConvBN(8, (3, 3, 3), name="l1")(x, train)
+        return x
+
+
+def test_halo_sharded_train_step_matches_unsharded():
+    """Time-sharded train step == unsharded Flax step: loss, gradients, and
+    BN batch statistics all match (VERDICT r1 item 4; the halo backward and
+    cross-shard BN psum)."""
+    import flax.linen as nn
+
+    from crowded_scenes_ensemble_classification_tpu.parallel.halo_train import (
+        make_time_sharded_convbn_train_step,
+        update_running_stats,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 12, 12, 3)), jnp.float32)
+
+    model = _ConvBNStack()
+    variables = model.init(jax.random.key(0), x, train=True)
+    params = variables["params"]
+
+    # unsharded oracle: loss + grads + updated batch_stats via Flax
+    target_shape = jax.eval_shape(
+        lambda v, x: model.apply(v, x, train=False), variables, x
+    ).shape
+    target = jnp.asarray(rng.normal(size=target_shape), jnp.float32)
+
+    def flax_loss(p):
+        out, upd = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            x,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        return jnp.mean(jnp.square(out - target)), upd["batch_stats"]
+
+    (ref_loss, ref_bs), ref_grads = jax.value_and_grad(flax_loss, has_aux=True)(
+        params
+    )
+
+    # sharded step over the 8-device time mesh
+    mesh = make_mesh((("time", 8),))
+    specs = [
+        {"strides": (2, 2, 2), "pool": ((3, 3, 3), (2, 2, 2))},
+        {"strides": (1, 1, 1)},
+    ]
+    step = make_time_sharded_convbn_train_step(mesh, specs)
+    sh_params = (
+        {"kernel": params["l0"]["conv"]["kernel"], "bias": params["l0"]["bn"]["bias"]},
+        {"kernel": params["l1"]["conv"]["kernel"], "bias": params["l1"]["bn"]["bias"]},
+    )
+    loss, grads, stats = step(sh_params, x, target)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for i, name in enumerate(("l0", "l1")):
+        np.testing.assert_allclose(
+            np.asarray(grads[i]["kernel"]),
+            np.asarray(ref_grads[name]["conv"]["kernel"]),
+            atol=2e-4, rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(grads[i]["bias"]),
+            np.asarray(ref_grads[name]["bn"]["bias"]),
+            atol=2e-4, rtol=1e-4,
+        )
+        # batch moments + Keras running-average update
+        running = (
+            {"mean": variables["batch_stats"]["l0"]["bn"]["mean"],
+             "var": variables["batch_stats"]["l0"]["bn"]["var"]},
+            {"mean": variables["batch_stats"]["l1"]["bn"]["mean"],
+             "var": variables["batch_stats"]["l1"]["bn"]["var"]},
+        )
+        new_running = update_running_stats(running, stats)
+        np.testing.assert_allclose(
+            np.asarray(new_running[i]["mean"]),
+            np.asarray(ref_bs[name]["bn"]["mean"]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_running[i]["var"]),
+            np.asarray(ref_bs[name]["bn"]["var"]),
+            atol=1e-5,
+        )
