@@ -144,6 +144,32 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--weights-type", "-wt", choices=WEIGHTING_SCHEMES, default="SUM")
 
+    p = sub.add_parser(
+        "convert",
+        help="download/convert pretrained Keras h5 checkpoints "
+             "(reference train.py:41-57, get_file at :808)",
+    )
+    p.add_argument(
+        "--model-type", "-mt", choices=["C3D", "I3D", "TWOSTREAM_I3D"],
+        default="I3D",
+    )
+    p.add_argument("--rgb-h5", default=None, help="local Keras h5 (rgb stream)")
+    p.add_argument("--flow-h5", default=None, help="local Keras h5 (flow stream)")
+    p.add_argument(
+        "--fetch-rgb", default=None,
+        help="registry name to download for the rgb stream, e.g. "
+             "rgb_imagenet_and_kinetics",
+    )
+    p.add_argument(
+        "--fetch-flow", default=None,
+        help="registry name to download for the flow stream",
+    )
+    p.add_argument("--include-top", action="store_true",
+                   help="fetch the with-classification-top variant")
+    p.add_argument("--num-classes", type=int, default=None)
+    p.add_argument("--cache-dir", default=None)
+    p.add_argument("--out", required=True, help="output .msgpack variables file")
+
     sub.add_parser("bench", help="run the clips/sec benchmark")
     return parser
 
@@ -374,6 +400,27 @@ def main(argv=None) -> int:
                 n_members=n_members,
             )
             print(path)
+        return 0
+
+    if args.command == "convert":
+        from ..models.weights_registry import convert_keras_checkpoint, fetch_weights
+
+        rgb_h5, flow_h5 = args.rgb_h5, args.flow_h5
+        if args.fetch_rgb:
+            rgb_h5 = fetch_weights(
+                args.fetch_rgb, include_top=args.include_top,
+                cache_dir=args.cache_dir,
+            )
+        if args.fetch_flow:
+            flow_h5 = fetch_weights(
+                args.fetch_flow, include_top=args.include_top,
+                cache_dir=args.cache_dir,
+            )
+        out, _ = convert_keras_checkpoint(
+            args.model_type, args.out, rgb_h5=rgb_h5, flow_h5=flow_h5,
+            num_classes=args.num_classes,
+        )
+        print(out)
         return 0
 
     if args.command == "bench":

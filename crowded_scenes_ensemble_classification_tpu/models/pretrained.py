@@ -32,7 +32,22 @@ def load_pretrained_variables(
     rgb_h5: Optional[str] = None,
     flow_h5: Optional[str] = None,
 ) -> Dict:
-    """Overlay pretrained weights from Keras h5 files onto fresh init."""
+    """Overlay pretrained weights from Keras h5 files onto fresh init.
+
+    A path ending in .msgpack is treated as pre-converted framework
+    variables (written by weights_registry.convert_keras_checkpoint / the
+    `convert` CLI) and merged directly."""
+    if rgb_h5 is not None and rgb_h5.endswith(".msgpack"):
+        from .weights_registry import load_converted_variables
+
+        converted = load_converted_variables(rgb_h5)
+        if model_type == "C3D":
+            # drop any checkpoint head whose width differs (pop-softmax
+            # surgery, train.py:1672-1678) — keep the fresh head init
+            p = converted.get("params", {})
+            if "fc8" in p and p["fc8"]["kernel"].shape[-1] != num_classes:
+                p.pop("fc8")
+        return wio.merge_pretrained(fresh_variables, converted)
     if model_type == "C3D":
         if rgb_h5 is None:
             raise ValueError("C3D _PRETRAINED needs the sports1M h5 path")
