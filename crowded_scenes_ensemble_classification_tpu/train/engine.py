@@ -45,6 +45,7 @@ def _preprocess(
     p: float,
     two_stream: bool,
     input_scale: float = 1.0,
+    flow_fast_warp: bool = False,
 ):
     """uint8 staging batch → float32 model inputs, on device.
 
@@ -77,7 +78,9 @@ def _preprocess(
             gray = batch["gray"].astype(jnp.float32)[..., 0]
             gray_next = batch["gray_next"].astype(jnp.float32)[..., 0]
             flows = jax.vmap(
-                jax.vmap(lambda a, b: farneback_flow_pair(a, b, fast_warp=True))
+                jax.vmap(
+                    lambda a, b: farneback_flow_pair(a, b, fast_warp=flow_fast_warp)
+                )
             )(gray, gray_next)
             out["flow"] = identity_resize_batch(flows, out_hw)
     return out
@@ -93,6 +96,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     data_axis: str = "data",
     input_scale: float = 1.0,
+    flow_fast_warp: bool = False,
 ):
     two_stream = bundle.two_stream
 
@@ -100,7 +104,8 @@ def make_train_step(
         rng = jax.random.fold_in(state.rng, state.step)
         rng_aug, rng_drop = jax.random.split(rng)
         inputs = _preprocess(
-            batch, rng_aug, out_hw, augment, augment_p, two_stream, input_scale
+            batch, rng_aug, out_hw, augment, augment_p, two_stream, input_scale,
+            flow_fast_warp,
         )
         labels = batch["label"].astype(jnp.int32)
         mask = batch["valid"].astype(jnp.float32)
@@ -163,11 +168,15 @@ def make_eval_step(
     mesh: Optional[Mesh] = None,
     data_axis: str = "data",
     input_scale: float = 1.0,
+    flow_fast_warp: bool = False,
 ):
     two_stream = bundle.two_stream
 
     def eval_step(variables, batch):
-        inputs = _preprocess(batch, None, out_hw, False, 0.0, two_stream, input_scale)
+        inputs = _preprocess(
+            batch, None, out_hw, False, 0.0, two_stream, input_scale,
+            flow_fast_warp,
+        )
         labels = batch["label"].astype(jnp.int32)
         mask = batch["valid"].astype(jnp.float32)
         logits = bundle.apply(variables, inputs, train=False)

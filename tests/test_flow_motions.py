@@ -1,0 +1,297 @@
+"""Hardened optical-flow validation (VERDICT round-1, item 5).
+
+Extends the translation-only cross-check of test_flow.py with:
+
+- an EPE table over rotation / zoom / shear / composite affine motions with
+  analytic ground-truth flow, for Farnebäck (exact + fast_warp), TV-L1
+  (exact + fast_warp), and cv2's Farnebäck as the reference oracle
+  (reference host call: train.py:294-332),
+- a REAL decoded-video pair: frames are encoded to mp4 (mp4v, the
+  reference's augment_dataset.py codec) and decoded back through
+  data.video_io, so the cross-check sees genuine codec artifacts,
+- a quantified fast_warp-vs-exact delta on non-uniform flow fields
+  (the fast_warp approximation carries all production flow perf),
+- a TwoStream e2e: ensemble softmax/predictions are insensitive to the
+  warp mode.
+
+cv2.optflow (DualTVL1) is not built into this environment's cv2 (5.0.0),
+so TV-L1 is validated against analytic ground truth only — measured EPE
+≤ 0.06 px on every motion (table below), tighter than the Farnebäck-vs-cv2
+agreement itself.
+
+Measured EPE at 96², margin 12 (seed 0; thresholds leave ~2× headroom):
+
+    motion     |gt|max  fb_exact  fb_fast    cv2   tvl1 tvl1_fast
+    translate     2.00     0.001    0.001  0.498  0.002     0.003
+    rotate        2.14     0.086    0.089  0.304  0.043     0.059
+    zoom          2.40     0.073    0.074  0.369  0.051     0.051
+    shear         3.35     0.065    0.069  0.500  0.038     0.045
+    composite     4.16     0.081    0.081  0.491  0.043     0.060
+"""
+
+from __future__ import annotations
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crowded_scenes_ensemble_classification_tpu.flow import (
+    farneback_flow_pair,
+    tvl1_flow_pair,
+)
+
+H = W = 96
+MARGIN = 12
+
+
+def textured(rng, h=H, w=W, blur=3.0):
+    img = rng.random((h, w)).astype(np.float32) * 255
+    return cv2.GaussianBlur(img, (0, 0), blur)
+
+
+def motion_matrices():
+    """Affine src→dst maps (cv2.warpAffine convention): content at p in I0
+    appears at M·(p,1) in I1, so ground-truth prev→next flow is M·p − p."""
+    c = (W / 2, H / 2)
+    out = {"translate": np.float32([[1, 0, 2.0], [0, 1, -1.0]])}
+    out["rotate"] = cv2.getRotationMatrix2D(c, 2.5, 1.0).astype(np.float32)
+    out["zoom"] = cv2.getRotationMatrix2D(c, 0.0, 1.05).astype(np.float32)
+    out["shear"] = np.float32([[1, 0.04, -1.5], [0.03, 1, 0.5]])
+    comp = cv2.getRotationMatrix2D(c, 1.5, 1.03).astype(np.float32)
+    comp[:, 2] += (1.5, -1.0)
+    out["composite"] = comp
+    return out
+
+
+def gt_flow(M):
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    px = M[0, 0] * gx + M[0, 1] * gy + M[0, 2]
+    py = M[1, 0] * gx + M[1, 1] * gy + M[1, 2]
+    return np.stack([px - gx, py - gy], -1).astype(np.float32)
+
+
+def epe(flow, gt, margin=MARGIN):
+    d = flow[margin:-margin, margin:-margin] - gt[margin:-margin, margin:-margin]
+    return float(np.sqrt((d**2).sum(-1)).mean())
+
+
+def make_pair(rng, M):
+    I0 = textured(rng)
+    I1 = cv2.warpAffine(
+        I0, M, (W, H), flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT
+    )
+    return I0, I1
+
+
+# EPE ceilings per (motion, method) — ~2× the measured values above.
+FB_LIMITS = {"translate": 0.05, "rotate": 0.2, "zoom": 0.2, "shear": 0.2, "composite": 0.2}
+TVL1_LIMITS = {"translate": 0.05, "rotate": 0.15, "zoom": 0.15, "shear": 0.15, "composite": 0.15}
+
+
+@pytest.mark.parametrize("motion", list(motion_matrices()))
+def test_farneback_epe_per_motion(motion, rng):
+    M = motion_matrices()[motion]
+    I0, I1 = make_pair(rng, M)
+    gt = gt_flow(M)
+    ref = cv2.calcOpticalFlowFarneback(
+        I0.astype(np.uint8), I1.astype(np.uint8), None, 0.5, 5, 11, 5, 5, 1.1, 0
+    )
+    for fast in (False, True):
+        ours = np.asarray(
+            farneback_flow_pair(jnp.asarray(I0), jnp.asarray(I1), fast_warp=fast)
+        )
+        e = epe(ours, gt)
+        assert e < FB_LIMITS[motion], (motion, fast, e)
+        # never meaningfully worse than the cv2 oracle on the same pair
+        assert e <= epe(ref, gt) + 0.05, (motion, fast, e, epe(ref, gt))
+
+
+@pytest.mark.parametrize("motion", list(motion_matrices()))
+def test_tvl1_epe_per_motion(motion, rng):
+    M = motion_matrices()[motion]
+    I0, I1 = make_pair(rng, M)
+    gt = gt_flow(M)
+    for fast in (False, True):
+        ours = np.asarray(
+            tvl1_flow_pair(jnp.asarray(I0), jnp.asarray(I1), fast_warp=fast)
+        )
+        assert epe(ours, gt) < TVL1_LIMITS[motion], (motion, fast)
+
+
+def test_fast_warp_epe_delta_on_nonuniform_flow(rng):
+    """The fast_warp approximation's cost, quantified on every non-uniform
+    motion: mean flow delta vs the exact warp < 0.1 px and EPE degradation
+    < 0.05 px (measured: ≤ 0.025 / ≤ 0.016)."""
+    for motion, M in motion_matrices().items():
+        I0, I1 = make_pair(rng, M)
+        gt = gt_flow(M)
+        exact = np.asarray(farneback_flow_pair(jnp.asarray(I0), jnp.asarray(I1)))
+        fast = np.asarray(
+            farneback_flow_pair(jnp.asarray(I0), jnp.asarray(I1), fast_warp=True)
+        )
+        delta = np.abs(exact - fast)[MARGIN:-MARGIN, MARGIN:-MARGIN].mean()
+        assert delta < 0.1, (motion, delta)
+        assert epe(fast, gt) - epe(exact, gt) < 0.05, motion
+
+
+def test_farneback_on_real_decoded_video(tmp_path, rng):
+    """Flow cross-check on frames that went through a REAL mp4 encode →
+    decode round trip (mp4v@20fps like the reference's augment writer,
+    augment_dataset.py:34-50): codec noise included, ours must still agree
+    with cv2 run on the SAME decoded frames."""
+    from crowded_scenes_ensemble_classification_tpu.data.video_io import (
+        decode_clip,
+        write_video,
+    )
+
+    base = textured(rng, H + 24, W + 24)
+    frames = []
+    for t in range(8):
+        M = np.float32([[1, 0, -12 + 1.5 * t], [0, 1, -12 + 0.75 * t]])
+        frames.append(cv2.warpAffine(base, M, (W, H)))
+    rgb = np.stack([np.stack([f, f, f], -1) for f in frames]).astype(np.uint8)
+    path = str(tmp_path / "clip.mp4")
+    write_video(path, rgb)
+
+    decoded = decode_clip(path, num_frames=8, staging_hw=(H, W))
+    gray = decoded.astype(np.float32).mean(-1)
+
+    ours = np.asarray(
+        farneback_flow_pair(jnp.asarray(gray[3]), jnp.asarray(gray[4]), fast_warp=True)
+    )
+    ref = cv2.calcOpticalFlowFarneback(
+        gray[3].astype(np.uint8), gray[4].astype(np.uint8), None,
+        0.5, 5, 11, 5, 5, 1.1, 0,
+    )
+    diff = np.abs(ours - ref)[MARGIN:-MARGIN, MARGIN:-MARGIN]
+    assert diff.mean() < 0.5, diff.mean()
+    # and both recover the injected (1.5, 0.75) px/frame translation
+    inner = ours[MARGIN:-MARGIN, MARGIN:-MARGIN]
+    assert abs(np.median(inner[..., 0]) - 1.5) < 0.5
+    assert abs(np.median(inner[..., 1]) - 0.75) < 0.5
+
+
+def test_warp_image_mxu_matches_gather_warp(rng):
+    """The gather-free exact warp (one-hot MXU matmul, VERDICT item 6)
+    reproduces pyramid.warp_image to FMA rounding (≤1e-6 relative) on
+    random non-smooth flow — where the separable fast_warp is only
+    approximate — and exactly handles border clamping."""
+    from crowded_scenes_ensemble_classification_tpu.flow.pyramid import (
+        warp_image,
+        warp_image_mxu,
+    )
+    import jax
+
+    for h, w in ((64, 64), (96, 64), (14, 14)):
+        img = jnp.asarray(rng.random((h, w)).astype(np.float32) * 255)
+        flow = jnp.asarray(rng.uniform(-9, 9, (h, w, 2)).astype(np.float32))
+        a = np.asarray(warp_image(img, flow))
+        b = np.asarray(warp_image_mxu(img, flow))
+        np.testing.assert_allclose(a, b, atol=1e-3)  # ≈1e-6 relative of 255
+    # grads flow through (it sits inside the TV-L1/Farnebäck graph)
+    g = jax.grad(lambda f: jnp.sum(warp_image_mxu(img, f)))(flow)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def _motion_batch(rng, n, size, frames_n=16):
+    """n clips of moving texture; label = motion direction (0: right,
+    1: left) — a signal only the flow stream can see cleanly."""
+    rgbs, grays, nexts, labels = [], [], [], []
+    for i in range(n):
+        label = i % 2
+        vx = (1.3 if label == 0 else -1.3) + rng.uniform(-0.2, 0.2)
+        vy = rng.uniform(-0.4, 0.4)
+        base = textured(rng, size + 48, size + 48)
+        fr = [
+            cv2.warpAffine(
+                base,
+                np.float32([[1, 0, -24 + vx * t], [0, 1, -24 + vy * t]]),
+                (size, size),
+            )
+            for t in range(frames_n + 1)
+        ]
+        g = np.stack(fr).astype(np.uint8)
+        rgbs.append(np.stack([np.stack([f, f, f], -1) for f in fr[:frames_n]]))
+        grays.append(g[:frames_n, ..., None])
+        nexts.append(g[1 : frames_n + 1, ..., None])
+        labels.append(label)
+    return {
+        "rgb": np.stack(rgbs).astype(np.uint8),
+        "gray": np.stack(grays),
+        "gray_next": np.stack(nexts),
+        "label": np.asarray(labels, np.int32),
+        "valid": np.ones(n, bool),
+        "index": np.arange(n),
+    }
+
+
+@pytest.mark.slow
+def test_twostream_e2e_accuracy_insensitive_to_warp_mode(rng):
+    """e2e (VERDICT item 5): train a TwoStream-I3D briefly on a synthetic
+    motion-direction task (learned through the on-device Farnebäck flow
+    stream, fast_warp mode — the production configuration), then evaluate
+    with BOTH warp modes: accuracy and per-clip predictions must match, and
+    softmax probabilities must be close.  This pins the PARITY.md fast_warp
+    deviation as accuracy-neutral end to end."""
+    import jax
+
+    from crowded_scenes_ensemble_classification_tpu.core.config import ClipSpec
+    from crowded_scenes_ensemble_classification_tpu.models import TwoStreamI3D
+    from crowded_scenes_ensemble_classification_tpu.models.registry import ModelBundle
+    from crowded_scenes_ensemble_classification_tpu.train import (
+        TrainState,
+        make_train_step,
+    )
+    from crowded_scenes_ensemble_classification_tpu.train.engine import make_eval_step
+    import optax
+
+    size, frames_n = 32, 16
+    bundle = ModelBundle(
+        model_type="TWOSTREAM_I3D",
+        module=TwoStreamI3D(num_classes=2),
+        clip=ClipSpec(frames=frames_n, height=size, width=size, flow_channels=2),
+        num_classes=2,
+        two_stream=True,
+    )
+    variables = bundle.module.init(
+        jax.random.key(0),
+        jnp.zeros((1, frames_n, size, size, 3)),
+        jnp.zeros((1, frames_n, size, size, 2)),
+        train=False,
+    )
+    tx = optax.adam(2e-3)
+    state = TrainState.create(variables, tx, jax.random.key(1))
+    step = make_train_step(
+        bundle, tx, (size, size), augment=False, input_scale=1 / 255.0
+    )
+
+    train_batch = _motion_batch(rng, 8, size, frames_n)
+    cw = jnp.ones((2,), jnp.float32)
+    metrics = {}
+    for _ in range(30):
+        state, metrics = step(state, train_batch, cw)
+        if float(metrics["accuracy"]) == 1.0 and float(metrics["loss"]) < 0.1:
+            break
+    assert float(metrics["accuracy"]) == 1.0, dict(
+        loss=float(metrics["loss"]), acc=float(metrics["accuracy"])
+    )
+
+    trained = {"params": state.params}
+    if state.batch_stats:
+        trained["batch_stats"] = state.batch_stats
+    eval_batch = _motion_batch(rng, 8, size, frames_n)
+    out = {}
+    for fast in (False, True):
+        estep = make_eval_step(
+            bundle, (size, size), input_scale=1 / 255.0, flow_fast_warp=fast
+        )
+        out[fast] = estep(trained, eval_batch)
+
+    acc = {k: float(v["correct"]) / float(v["count"]) for k, v in out.items()}
+    assert acc[False] == acc[True], acc
+    preds = {k: np.argmax(np.asarray(v["probs"]), -1) for k, v in out.items()}
+    np.testing.assert_array_equal(preds[False], preds[True])
+    np.testing.assert_allclose(
+        np.asarray(out[False]["probs"]), np.asarray(out[True]["probs"]), atol=0.02
+    )
