@@ -236,6 +236,53 @@ class _ConvKernel(nn.Module):
         return self.param("kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32)
 
 
+class PallasStemConvBN(nn.Module):
+    """I3D stem ConvBN with the 7³/2 conv routed through the Pallas
+    patch-matmul kernel (ops.pallas.stem_conv_v8) — the XLA stem runs at
+    ~22 TFLOP/s while mid-net convs hit 100+; the kernel restores the MXU
+    contraction via im2col in VMEM.  Parameter tree identical to ConvBN
+    (conv/kernel + bn/*), so checkpoints are interchangeable.  Falls back
+    to the canonical conv when shapes don't meet the kernel's constraints
+    (even T/H/W, H/2 % 14 == 0).  (Reference op: train.py:1026.)"""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c = int(x.shape[-1])
+        kernel = _ConvKernel((7, 7, 7, c, self.features), name="conv")()
+        n, t, h, w, _ = x.shape
+        ok = (
+            t % 2 == 0 and h % 2 == 0 and w % 2 == 0
+            and (h // 2) % 14 == 0 and 8 * c <= 32
+        )
+        if ok:
+            from ..ops.pallas.stem_conv_v8 import stem_conv_7x7x7_s2_v8
+
+            x = stem_conv_7x7x7_s2_v8(
+                x.astype(self.dtype), kernel.astype(self.dtype)
+            )
+        else:
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                (2, 2, 2),
+                "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=KERAS_BN_MOMENTUM,
+            epsilon=KERAS_BN_EPS,
+            use_scale=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return nn.relu(x)
+
+
 class S2DStemConvBN(nn.Module):
     """Drop-in replacement for the I3D stem ConvBN using s2d_stem_conv.
     Same parameter tree (conv/kernel + bn/*) as ConvBN, so converted

@@ -27,7 +27,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import ConvBN, S2DStemConvBN, avg_pool_3d, flatten, max_pool_3d
+from .common import (
+    ConvBN,
+    PallasStemConvBN,
+    S2DStemConvBN,
+    avg_pool_3d,
+    flatten,
+    max_pool_3d,
+)
 
 @functools.lru_cache(maxsize=1)
 def _default_platform() -> str:
@@ -103,6 +110,11 @@ class I3DTrunk(nn.Module):
     # v5e (XLA already tiles the stem well) — kept as an option.
     s2d_stem: bool = False
     pool_impl: str = "auto"
+    # stem_impl: 'pallas' routes the 7³/2 stem through the Pallas
+    # patch-matmul kernel (inference only — no backward defined); 'auto'
+    # currently resolves to the canonical XLA conv — the v8 kernel variants
+    # measure SLOWER than XLA so far (see NEXT.md stem campaign notes).
+    stem_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -113,7 +125,10 @@ class I3DTrunk(nn.Module):
             else base_cls
         )
         x = x.astype(self.dtype)
-        if self.s2d_stem:
+        use_pallas_stem = self.stem_impl == "pallas" and not train
+        if use_pallas_stem:
+            x = PallasStemConvBN(64, dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
+        elif self.s2d_stem:
             x = S2DStemConvBN(64, dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
         else:
             x = ConvBN(64, (7, 7, 7), strides=(2, 2, 2), dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
@@ -150,6 +165,7 @@ class I3D(nn.Module):
     remat: bool = False
     s2d_stem: bool = False
     pool_impl: str = "auto"
+    stem_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -158,6 +174,7 @@ class I3D(nn.Module):
             remat=self.remat,
             s2d_stem=self.s2d_stem,
             pool_impl=self.pool_impl,
+            stem_impl=self.stem_impl,
             name="trunk",
         )(x, train)
         x = i3d_feature_head(x)

@@ -155,3 +155,44 @@ def test_stem_conv_kernel_interpret():
         x, k, (2, 2, 2), "SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC")
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+# ----------------------------------------------------------------------
+# stem_conv_v8: the 7³/2 I3D stem as a 32-lane-aligned MXU patch-matmul
+# ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("assembly", ["concat", "scratch"])
+def test_stem_conv_v8_exact_interpret(assembly, rng):
+    """Both assembly variants reproduce the canonical 7³/2 TF-SAME stem
+    conv exactly (interpret mode; reference op train.py:1026)."""
+    from crowded_scenes_ensemble_classification_tpu.ops.pallas.stem_conv_v8 import (
+        stem_conv_7x7x7_s2_v8,
+    )
+
+    x = jnp.asarray(rng.normal(0, 1, (2, 4, 28, 28, 3)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.1, (7, 7, 7, 3, 16)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (2, 2, 2), "SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC")
+    )
+    out = stem_conv_7x7x7_s2_v8(x, k, assembly=assembly, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(not ON_TPU, reason="needs real TPU")
+def test_stem_conv_v8_on_tpu(rng):
+    from crowded_scenes_ensemble_classification_tpu.ops.pallas.stem_conv_v8 import (
+        stem_conv_7x7x7_s2_v8,
+    )
+
+    x = jnp.asarray(rng.normal(0, 1, (2, 20, 224, 224, 3)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(0, 0.05, (7, 7, 7, 3, 64)), jnp.bfloat16)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (2, 2, 2), "SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC")
+    )
+    out = stem_conv_7x7x7_s2_v8(x, k, assembly="scratch")
+    # bf16 operands with f32 accumulation in both paths
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.0625
+    )
