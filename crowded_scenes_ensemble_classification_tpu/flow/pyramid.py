@@ -158,14 +158,15 @@ def warp_image_mxu(
     relative, last-ulp).  Rows are processed in `block_rows` chunks to
     bound the one-hot tensor at (block, W, W).
 
-    img may be (H, W) or (H, W, C): all channels are resampled with ONE
-    shared one-hot matrix / weight field (TV-L1 warps the image and both
-    gradients at identical positions — 3 warps for the price of ~1).
+    img may be (H, W) or CHANNELS-LEADING (C, H, W): all channels are
+    resampled with ONE shared one-hot matrix / weight field (TV-L1 warps
+    the image and both gradients at identical positions — 3 warps for the
+    price of ~1).  Channels lead so W stays on the lane axis.
     """
     squeeze = img.ndim == 2
     if squeeze:
-        img = img[..., None]
-    h, w, _ = img.shape
+        img = img[None]
+    _, h, w = img.shape
     r = max_disp
     # largest divisor of h not exceeding block_rows (h is static)
     block_rows = min(block_rows, h)
@@ -181,7 +182,7 @@ def warp_image_mxu(
     row_ids = jnp.arange(h)
     # edge-replicated row padding == index clamping at the borders, and it
     # turns every band access into a contiguous dynamic slice (no gather)
-    img_p = jnp.pad(img, ((r, r), (0, 0), (0, 0)), mode="edge")
+    img_p = jnp.pad(img, ((0, 0), (r, r), (0, 0)), mode="edge")
 
     def chunk(i0):
         rows = jax.lax.dynamic_slice_in_dim(row_ids, i0, block_rows)
@@ -199,18 +200,18 @@ def warp_image_mxu(
         )
         # candidate source rows for the whole chunk: i0−r … i0+block+r−1
         band = jax.lax.dynamic_slice_in_dim(
-            img_p, i0, block_rows + 2 * r
-        )  # (B + 2r, W, C)
+            img_p, i0, block_rows + 2 * r, axis=1
+        )  # (C, B + 2r, W)
         # x-resample every candidate row on the MXU:
-        # xg[b, i, j, c] = Σ_k oh[i, j, k] · band[i + b, k, c]
+        # xg[b, c, i, j] = Σ_k oh[i, j, k] · band[c, i + b, k]
         bands = jnp.stack(
             [
-                jax.lax.dynamic_slice_in_dim(band, b, block_rows)
+                jax.lax.dynamic_slice_in_dim(band, b, block_rows, axis=1)
                 for b in range(2 * r + 1)
             ]
-        )  # (D, B, W, C)
+        )  # (D, C, B, W)
         xg = jnp.einsum(
-            "ijk,dikc->dijc", oh, bands,
+            "ijk,dcik->dcij", oh, bands,
             precision=jax.lax.Precision.HIGHEST,
         )
         # y-combine: select-based bilinear weights over the 2r+1 bands
@@ -223,11 +224,12 @@ def warp_image_mxu(
             1.0 - wyf[None],
             jnp.where(dcol == d_lo[None] + 1.0, wyf[None], 0.0),
         )
-        return jnp.einsum("dij,dijc->ijc", wy, xg)
+        return jnp.einsum("dij,dcij->cij", wy, xg)
 
     out = jax.lax.map(chunk, jnp.arange(0, h, block_rows))
-    out = out.reshape(h, w, -1)
-    return out[..., 0] if squeeze else out
+    # (n_chunks, C, block, W) → (C, H, W)
+    out = out.transpose(1, 0, 2, 3).reshape(-1, h, w)
+    return out[0] if squeeze else out
 
 
 def image_gradients(img: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -253,26 +255,28 @@ def warp_image_separable(
     error is O(∂flow/∂axis) at motion discontinuities).  Displacements are
     clamped to ±max_disp.  Used by farneback_flow_pair(fast_warp=True).
 
-    img may be (H, W) or (H, W, C) — channels share the weight fields.
+    img may be (H, W) or CHANNELS-LEADING (C, H, W) — channels share the
+    weight fields.  (Channels-last would put C on the 128-lane axis —
+    measured catastrophic for C=3.)
     """
     squeeze = img.ndim == 2
     if squeeze:
-        img = img[..., None]
-    h, w, c = img.shape
+        img = img[None]
+    c, h, w = img.shape
     r = max_disp
-    u = jnp.clip(flow[..., 0], -r, r)[..., None]
-    v = jnp.clip(flow[..., 1], -r, r)[..., None]
+    u = jnp.clip(flow[..., 0], -r, r)[None]
+    v = jnp.clip(flow[..., 1], -r, r)[None]
 
     # y pass: out_y[i, j] = Σ_dy hat(v[i,j] − dy) · img[i+dy, j]
-    padded = jnp.pad(img, ((r, r), (0, 0), (0, 0)), mode="edge")
+    padded = jnp.pad(img, ((0, 0), (r, r), (0, 0)), mode="edge")
     acc = jnp.zeros_like(img)
     for dy in range(-r, r + 1):
         wgt = jnp.maximum(0.0, 1.0 - jnp.abs(v - dy))
-        acc = acc + wgt * lax.dynamic_slice(padded, (r + dy, 0, 0), (h, w, c))
+        acc = acc + wgt * lax.dynamic_slice(padded, (0, r + dy, 0), (c, h, w))
     # x pass on the y-warped image
-    padded = jnp.pad(acc, ((0, 0), (r, r), (0, 0)), mode="edge")
+    padded = jnp.pad(acc, ((0, 0), (0, 0), (r, r)), mode="edge")
     out = jnp.zeros_like(img)
     for dx in range(-r, r + 1):
         wgt = jnp.maximum(0.0, 1.0 - jnp.abs(u - dx))
-        out = out + wgt * lax.dynamic_slice(padded, (0, r + dx, 0), (h, w, c))
-    return out[..., 0] if squeeze else out
+        out = out + wgt * lax.dynamic_slice(padded, (0, 0, r + dx), (c, h, w))
+    return out[0] if squeeze else out

@@ -102,9 +102,10 @@ def tvl1_flow_pair(
         for _ in range(warps):
             u0 = flow
             # image + both gradients resampled at identical positions —
-            # ONE channel-packed warp (shared one-hot/weight fields)
-            warped = warp(jnp.stack([I1, I1x_full, I1y_full], -1), u0)
-            I1w, I1wx, I1wy = warped[..., 0], warped[..., 1], warped[..., 2]
+            # ONE channel-packed warp (shared one-hot/weight fields;
+            # channels LEAD so W stays on the lane axis)
+            warped = warp(jnp.stack([I1, I1x_full, I1y_full]), u0)
+            I1w, I1wx, I1wy = warped[0], warped[1], warped[2]
             grad2 = I1wx**2 + I1wy**2
             # constant part of the residual: ρ(u) = ρc + I1wx·u + I1wy·v
             rho_c = I1w - I1wx * u0[..., 0] - I1wy * u0[..., 1] - I0
