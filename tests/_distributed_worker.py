@@ -65,6 +65,54 @@ def main() -> None:
         lambda a: jnp.sum(a), out_shardings=NamedSharding(mesh, P())
     )(garr)
 
+    # One REAL data-parallel training step across processes: the global
+    # batch is sharded over the 2-device (1 per process) mesh; gradients
+    # all-reduce over DCN; both processes must produce identical params.
+    from crowded_scenes_ensemble_classification_tpu.core.config import ClipSpec
+    from crowded_scenes_ensemble_classification_tpu.models import C3D
+    from crowded_scenes_ensemble_classification_tpu.models.registry import ModelBundle
+    from crowded_scenes_ensemble_classification_tpu.train import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    bundle = ModelBundle(
+        model_type="C3D",
+        module=C3D(num_classes=3, width=0.125),
+        clip=ClipSpec(frames=16, height=32, width=32),
+        num_classes=3,
+        two_stream=False,
+    )
+    tx = make_optimizer("C3D", 0.003)
+    variables = bundle.init(jax.random.key(0), batch_size=1)
+    state = TrainState.create(variables, tx, jax.random.key(1))
+    step = make_train_step(
+        bundle, tx, out_hw=(32, 32), augment=False, mesh=mesh,
+        input_scale=1 / 255.0,
+    )
+
+    rng = np.random.default_rng(7)  # same seed in BOTH processes
+    global_batch = {
+        "rgb": rng.integers(0, 255, (4, 16, 40, 40, 3)).astype(np.uint8),
+        "label": rng.integers(0, 3, 4).astype(np.int32),
+        "valid": np.ones(4, bool),
+        "index": np.arange(4),
+    }
+    half = 4 // num_processes
+    lo = process_id * half
+    sharded_batch = {
+        k: jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("data")), v[lo : lo + half]
+        )
+        for k, v in global_batch.items()
+    }
+    state, metrics = step(state, sharded_batch, jnp.ones((3,), jnp.float32))
+    loss = float(metrics["loss"])
+    # digest of the updated (replicated) params — must agree across procs
+    leaves = jax.tree_util.tree_leaves(state.params)
+    digest = float(sum(float(jnp.sum(jnp.abs(l.astype(jnp.float32)))) for l in leaves))
+
     print(
         json.dumps(
             {
@@ -73,6 +121,8 @@ def main() -> None:
                 "global_devices": len(devices),
                 "assignments": [list(p) for p in assignments],
                 "psum": float(total),
+                "train_loss": loss,
+                "param_digest": round(digest, 4),
             }
         )
     )

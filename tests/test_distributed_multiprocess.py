@@ -66,3 +66,12 @@ def test_two_process_distributed_smoke():
     # k=5 folds -> 20 (test, val) members, round-robined disjointly.
     assert a0.isdisjoint(a1)
     assert len(a0) + len(a1) == 20
+
+    # the cross-process data-parallel train step converged to IDENTICAL
+    # replicated params on both processes (grad all-reduce worked)
+    import math
+
+    for rec in results.values():
+        assert math.isfinite(rec["train_loss"])
+    assert results[0]["train_loss"] == pytest.approx(results[1]["train_loss"])
+    assert results[0]["param_digest"] == pytest.approx(results[1]["param_digest"])
