@@ -4,7 +4,7 @@ Measures the BASELINE.json north-star path on one chip, decode-inclusive:
 clip-cache host reads (the framework's decode-once store, replacing the
 reference's per-epoch cv2 decode loop, train.py:257-269) → device_put →
 device-side augmentation (fused crop/flip/noise/resize, ops.augment) →
-4-member vmapped I3D forward (bf16) → on-device score fusion — with host
+4-member sequential (lax.map) I3D forward (bf16) → on-device score fusion — with host
 reads running in a prefetch thread overlapped against device steps.
 
 The north-star target is ≥5000 clips/min end-to-end on a v5e-8, i.e.
@@ -30,7 +30,11 @@ import numpy as np
 BASELINE_CLIPS_PER_SEC_PER_CHIP = 5000.0 / 60.0 / 8.0  # north-star, per chip
 
 NUM_MEMBERS = 4
-BATCH = 48  # B=48 measured best on v5e (B=64 exceeds memory at compile)
+# Members run as a sequential lax.map (NOT vmap): one member's activations
+# at a time quarters peak memory, which both schedules better (+11% at
+# B=48) and unlocks larger batches.  Measured on v5e (device pipeline):
+# vmap@48 153.3 -> scan@48 169.7 -> scan@96 195.2 -> scan@128 215.2 clips/s.
+BATCH = 128
 FRAMES, SIZE, STAGING = 20, 224, 256
 CACHE_BATCHES = 5  # clips resident in the on-disk cache
 EPOCHS = 4  # measured passes over the cache
@@ -93,12 +97,13 @@ def main():
         x = crowd11_augment_batch(
             staged_u8.astype(jnp.float32), key, (SIZE, SIZE), p=0.75
         )
+        x = x.astype(jnp.bfloat16)  # cast once, shared by all members
 
         def member(v):
             logits = bundle.module.apply(v, x, train=False)
             return jax.nn.softmax(logits, axis=-1)
 
-        probs = jax.vmap(member)(stacked_vars)  # (M, B, C)
+        probs = jax.lax.map(member, stacked_vars)  # (M, B, C), sequential
         fused = jnp.einsum("mbc->bc", probs)  # SUM-weight fusion
         preds = jnp.argmax(fused, axis=-1)
         # checksum chains iterations so one scalar fetch syncs them all
