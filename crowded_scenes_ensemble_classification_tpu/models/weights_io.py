@@ -247,6 +247,25 @@ def i3d_variables_to_keras(variables: Dict, stream: str = "rgb") -> Dict:
     return layers
 
 
+def i3d_kinetics_variables_from_keras(
+    h5_layers: Dict[str, Dict[str, np.ndarray]],
+    stream: str = "rgb",
+) -> Dict:
+    """Full include_top Kinetics checkpoint → I3DKinetics variables:
+    trunk + the `Conv3d_6a_1x1` 1×1×1 conv head (use_bias=True, no BN —
+    reference train.py:1196-1213 via conv3d_bn)."""
+    params, stats = i3d_trunk_variables_from_keras(h5_layers, stream)
+    variables = {"params": {"trunk": params}, "batch_stats": {"trunk": stats}}
+    head = h5_layers[f"Conv3d_6a_1x1_{stream}_conv"]
+    variables["params"]["Conv3d_6a_1x1"] = {
+        "conv": {
+            "kernel": np.asarray(head["kernel"], np.float32),
+            "bias": np.asarray(head["bias"], np.float32),
+        }
+    }
+    return variables
+
+
 def twostream_variables_from_keras(
     rgb_h5_layers: Dict, flow_h5_layers: Dict
 ) -> Dict:

@@ -159,12 +159,37 @@ def i3d_forward(layers, x, stream: str = "rgb", num_classes: int = 11):
     return acts
 
 
+def i3d_kinetics_forward(layers, x, stream: str = "rgb"):
+    """include_top=True Kinetics head (reference train.py:1196-1213):
+    trunk → AvgPool3D((2,7,7)) VALID → 1×1×1 conv WITH bias (no BN/ReLU)
+    → squeeze spatial → mean over remaining frames = logits."""
+    dummy = dict(layers)
+    dummy["predictions"] = {
+        "kernel": np.zeros((1024, 1), np.float64),
+        "bias": np.zeros((1,), np.float64),
+    }
+    acts = i3d_forward(dummy, x, stream=stream)
+    feat = acts["Mixed_5c"]
+    p = avgpool3d_valid(feat, (2, 7, 7))  # (N, T'-1, h-6, w-6, 1024)
+    head = layers[f"Conv3d_6a_1x1_{stream}_conv"]
+    k = np.asarray(head["kernel"], np.float64)[0, 0, 0]  # (1024, C)
+    b = np.asarray(head["bias"], np.float64)
+    y = p @ k + b  # (N, T'', h', w', C)
+    y = y.reshape(y.shape[0], y.shape[1], -1, y.shape[-1]).mean(2)  # spatial
+    return y.mean(1)  # temporal mean → logits
+
+
 # ----------------------------------------------------------------------
 # Synthetic reference-layout checkpoint generation (for golden fixtures)
 # ----------------------------------------------------------------------
 
 
-def random_i3d_h5_layers(seed: int = 0, stream: str = "rgb", num_classes: int = 11):
+def random_i3d_h5_layers(
+    seed: int = 0,
+    stream: str = "rgb",
+    num_classes: int = 11,
+    include_top: bool = False,
+):
     """Seeded random weights for every reference I3D layer, in the Keras h5
     layer-dict layout that weights_io.read_keras_h5 returns."""
     rng = np.random.default_rng(seed)
@@ -198,8 +223,19 @@ def random_i3d_h5_layers(seed: int = 0, stream: str = "rgb", num_classes: int = 
         add_conv_bn(nm("3b_1x1"), 1, 1, 1, cin, b3)
         cin = b0 + b1 + b2 + b3
 
-    layers["predictions"] = {
-        "kernel": rng.normal(0, 1 / np.sqrt(cin), (cin, num_classes)).astype(np.float32),
-        "bias": rng.normal(0, 0.01, (num_classes,)).astype(np.float32),
-    }
+    if include_top:
+        # the Kinetics 1×1×1 conv head (use_bias, no BN — train.py:1196-1213)
+        layers[f"Conv3d_6a_1x1_{stream}_conv"] = {
+            "kernel": rng.normal(
+                0, 1 / np.sqrt(cin), (1, 1, 1, cin, num_classes)
+            ).astype(np.float32),
+            "bias": rng.normal(0, 0.01, (num_classes,)).astype(np.float32),
+        }
+    else:
+        layers["predictions"] = {
+            "kernel": rng.normal(0, 1 / np.sqrt(cin), (cin, num_classes)).astype(
+                np.float32
+            ),
+            "bias": rng.normal(0, 0.01, (num_classes,)).astype(np.float32),
+        }
     return layers

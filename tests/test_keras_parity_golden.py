@@ -192,3 +192,27 @@ def test_convert_cli_roundtrip(tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_i3d_kinetics_include_top_forward_matches_oracle(tmp_path):
+    """The include_top Kinetics path (reference train.py:1196-1213): full
+    h5 (trunk + Conv3d_6a_1x1 conv head) → i3d_kinetics_variables_from_keras
+    → I3DKinetics forward at the 224² geometry the head hard-codes."""
+    from oracle_i3d import i3d_kinetics_forward
+
+    layers = random_i3d_h5_layers(seed=31, num_classes=7, include_top=True)
+    h5_path = wio.write_keras_h5(str(tmp_path / "i3d_rgb_top.h5"), layers)
+
+    from crowded_scenes_ensemble_classification_tpu.models.i3d import I3DKinetics
+
+    read = wio.read_keras_h5(h5_path)
+    variables = wio.i3d_kinetics_variables_from_keras(read, stream="rgb")
+
+    rng = np.random.default_rng(32)
+    x = rng.uniform(-1, 1, (1, 16, 224, 224, 3)).astype(np.float32)
+    module = I3DKinetics(num_classes=7)
+    logits = module.apply(variables, jnp.asarray(x), train=False)
+
+    oracle_logits = i3d_kinetics_forward(layers, x, stream="rgb")
+    np.testing.assert_allclose(np.asarray(logits), oracle_logits, atol=2e-5)
