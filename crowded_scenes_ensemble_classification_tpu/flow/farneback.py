@@ -158,11 +158,13 @@ def farneback_flow_pair(
     """Dense flow prev→curr for two gray float images (H, W) → (H, W, 2).
 
     The default (fast_warp=False) warp is EXACT bilinear resampling via the
-    gather-free MXU kernel (pyramid.warp_image_mxu) — measured FASTER than
-    the separable approximation on TPU (0.29 vs 0.76 ms at 224²), and 9×
-    faster than the gather path it replaced.  fast_warp=True keeps the
-    shift-accumulate approximation (pyramid.warp_image_separable) for
-    comparison; both bound displacements per warp."""
+    gather-free MXU kernel (pyramid.warp_image_mxu) — 9× faster than the
+    gather path it replaced, and faster than the separable approximation
+    at the single-warp level (0.29 vs 0.76 ms at 224²).  Inside the full
+    coarse-to-fine solver the separable form still wins overall (150 vs
+    119 fields/s — small pyramid levels favour shifts), so fast_warp=True
+    remains the throughput knob; both bound displacements per warp, and
+    the e2e TwoStream test shows predictions are identical either way."""
     kernels, Ginv = _poly_exp_setup(poly_n, poly_sigma)
     win = box_kernel(winsize)
     warp = (
