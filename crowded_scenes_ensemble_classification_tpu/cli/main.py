@@ -102,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--database-file", "-db", default=None)
     p.add_argument("--runner", choices=["local", "commands"], default="local")
     p.add_argument("--input-scale", type=float, default=1.0)
+    p.add_argument("--rgb-h5", default=None,
+                   help="_PRETRAINED: Keras h5 or converted .msgpack (rgb)")
+    p.add_argument("--flow-h5", default=None,
+                   help="_PRETRAINED: Keras h5 (flow stream)")
 
     p = sub.add_parser("train", help="train one (test, val) ensemble member")
     _add_config_flags(p)
@@ -110,6 +114,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val-index", "-v", type=int, required=True)
     p.add_argument("--input-scale", type=float, default=1.0)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--rgb-h5", default=None,
+                   help="_PRETRAINED: Keras h5 or converted .msgpack (rgb)")
+    p.add_argument("--flow-h5", default=None,
+                   help="_PRETRAINED: Keras h5 (flow stream)")
 
     p = sub.add_parser("probs", help="cache member softmax probabilities")
     _add_config_flags(p)
@@ -213,6 +221,7 @@ def main(argv=None) -> int:
         out = launch_ensemble_training(
             config, table, args.work_dir, runner=args.runner,
             input_scale=args.input_scale,
+            rgb_h5=args.rgb_h5, flow_h5=args.flow_h5,
         )
         if args.runner == "commands":
             print("\n".join(out))
@@ -237,6 +246,8 @@ def main(argv=None) -> int:
             args.val_index,
             input_scale=args.input_scale,
             verbose=args.verbose,
+            rgb_h5=args.rgb_h5,
+            flow_h5=args.flow_h5,
         )
         print(
             f"test_acc={out['test_accuracy']:.4f} test_loss={out['test_loss']:.4f} "

@@ -256,12 +256,17 @@ def train_member(
     }
 
 
-def member_cli_commands(config: ExperimentConfig, work_dir: str) -> List[str]:
+def member_cli_commands(
+    config: ExperimentConfig,
+    work_dir: str,
+    rgb_h5: Optional[str] = None,
+    flow_h5: Optional[str] = None,
+) -> List[str]:
     """The sbatch-parity mode: one CLI command per (t, v) member, for
     external schedulers (reference launch_train_ensemble.py:144-158)."""
     cmds = []
     for t, v in split_pairs(config.folds_number):
-        cmds.append(
+        cmd = (
             "python -m crowded_scenes_ensemble_classification_tpu train"
             f" --work-dir {work_dir}"
             f" --model-type {config.model_type}"
@@ -274,6 +279,11 @@ def member_cli_commands(config: ExperimentConfig, work_dir: str) -> List[str]:
             f" --batch-size {config.batch_size}"
             f" --epochs {config.epochs}"
         )
+        if rgb_h5:
+            cmd += f" --rgb-h5 {rgb_h5}"
+        if flow_h5:
+            cmd += f" --flow-h5 {flow_h5}"
+        cmds.append(cmd)
     return cmds
 
 
@@ -291,7 +301,12 @@ def launch_ensemble_training(
     """
     layout = prepare_ensemble(config, clip_table, work_dir)
     if runner == "commands":
-        return member_cli_commands(config, work_dir)
+        return member_cli_commands(
+            config,
+            work_dir,
+            rgb_h5=member_kwargs.get("rgb_h5"),
+            flow_h5=member_kwargs.get("flow_h5"),
+        )
     results = {}
     for t, v in split_pairs(config.folds_number):
         results[(t, v)] = train_member(config, layout, t, v, **member_kwargs)

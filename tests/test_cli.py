@@ -198,3 +198,32 @@ def test_member_cli_commands_parse():
         assert args.model_type == "R3D_50"
         assert args.epochs == 42
         assert 0 <= args.test_index < 3 and args.test_index != args.val_index
+
+
+def test_commands_runner_threads_pretrained_paths(tmp_path):
+    """`launch --runner commands --rgb-h5/--flow-h5` must thread the
+    checkpoint paths into every fan-out member command (the Slurm-parity
+    path, reference launch_train_ensemble.py:144-158)."""
+    from crowded_scenes_ensemble_classification_tpu.cli.main import build_parser
+    from crowded_scenes_ensemble_classification_tpu.core.config import ExperimentConfig
+    from crowded_scenes_ensemble_classification_tpu.orchestration import (
+        member_cli_commands,
+    )
+
+    cfg = ExperimentConfig(
+        model_type="TWOSTREAM_I3D", training_condition="_PRETRAINED",
+        folds_number=3,
+    )
+    cmds = member_cli_commands(
+        cfg, str(tmp_path), rgb_h5="/w/rgb.h5", flow_h5="/w/flow.h5"
+    )
+    assert len(cmds) == 6
+    for c in cmds:
+        assert "--rgb-h5 /w/rgb.h5" in c and "--flow-h5 /w/flow.h5" in c
+        assert "--training-condition _PRETRAINED" in c
+
+    # and the train parser accepts what the fan-out emits
+    args = build_parser().parse_args(
+        cmds[0].split()[3:]  # strip "python -m <module>"
+    )
+    assert args.rgb_h5 == "/w/rgb.h5" and args.flow_h5 == "/w/flow.h5"
