@@ -295,3 +295,24 @@ def test_twostream_e2e_accuracy_insensitive_to_warp_mode(rng):
     np.testing.assert_allclose(
         np.asarray(out[False]["probs"]), np.asarray(out[True]["probs"]), atol=0.02
     )
+
+
+@pytest.mark.parametrize("motion", ["rotate", "composite"])
+def test_tvl1_bf16_duals_quality(motion, rng):
+    """compute_dtype=bfloat16 runs the dual inner loop at half bandwidth
+    (+31% fields/s on v5e); EPE must stay within the same per-motion
+    bounds and within 0.03 px of the f32 result (measured ≤ 0.012)."""
+    import jax.numpy as _jnp
+
+    M = motion_matrices()[motion]
+    I0, I1 = make_pair(rng, M)
+    gt = gt_flow(M)
+    f32 = np.asarray(tvl1_flow_pair(jnp.asarray(I0), jnp.asarray(I1), fast_warp=True))
+    bf16 = np.asarray(
+        tvl1_flow_pair(
+            jnp.asarray(I0), jnp.asarray(I1), fast_warp=True,
+            compute_dtype=_jnp.bfloat16,
+        )
+    )
+    assert epe(bf16, gt) < TVL1_LIMITS[motion]
+    assert abs(epe(bf16, gt) - epe(f32, gt)) < 0.03
