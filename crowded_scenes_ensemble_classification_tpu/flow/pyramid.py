@@ -1,7 +1,10 @@
 """Shared image-pyramid / warping primitives for the dense-flow kernels.
 
-All functions operate on single-channel float32 images (H, W) or batches
-thereof and are jit/vmap friendly (static shapes per pyramid level).
+Functions operate on single-channel float32 images (H, W) and are jit/vmap
+friendly (static shapes per pyramid level).  The two production warps
+(`warp_image_mxu`, `warp_image_separable`) additionally accept
+CHANNELS-LEADING (C, H, W) stacks that share one weight field — channels
+lead so W stays on the TPU lane axis.
 """
 
 from __future__ import annotations

@@ -113,7 +113,12 @@ def convert_keras_checkpoint(
 
     model_type: C3D | I3D | TWOSTREAM_I3D (R3D has no pretrained path in
     the reference, train.py:1683-1707).
-    """
+
+    For C3D the checkpoint head is kept verbatim (e.g. sports1M's 487-way
+    fc8); the pop-softmax surgery (train.py:1672-1678) happens at LOAD
+    time, where a mismatched head is dropped in favour of the fresh init
+    (models.pretrained).  num_classes only filters the I3D 'predictions'
+    Dense."""
     import flax.serialization
 
     from . import weights_io as wio
