@@ -48,8 +48,8 @@ def _sep_conv2d_multi(x_hwc: jax.Array, ky_stack: np.ndarray, kx_stack: np.ndarr
     rx = (kx_stack.shape[1] - 1) // 2
     x = jnp.pad(x_hwc, ((ry, ry), (rx, rx), (0, 0)), mode=mode)
     x = x.transpose(2, 0, 1)[None]  # NCHW, N=1
-    ky = jnp.asarray(ky_stack, jnp.float32).reshape(c, 1, -1, 1)
-    kx = jnp.asarray(kx_stack, jnp.float32).reshape(c, 1, 1, -1)
+    ky = jnp.asarray(ky_stack, x.dtype).reshape(c, 1, -1, 1)
+    kx = jnp.asarray(kx_stack, x.dtype).reshape(c, 1, 1, -1)
     out = lax.conv_general_dilated(
         x, ky, (1, 1), "VALID", feature_group_count=c,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
