@@ -316,3 +316,19 @@ def test_tvl1_bf16_duals_quality(motion, rng):
     )
     assert epe(bf16, gt) < TVL1_LIMITS[motion]
     assert abs(epe(bf16, gt) - epe(f32, gt)) < 0.03
+
+
+def test_warp_image_mxu_clamps_like_separable(rng):
+    """Displacements beyond max_disp are clamped (the documented bound,
+    same as warp_image_separable): equals the gather warp applied to the
+    pre-clamped flow."""
+    from crowded_scenes_ensemble_classification_tpu.flow.pyramid import (
+        warp_image,
+        warp_image_mxu,
+    )
+
+    img = jnp.asarray(rng.random((64, 64)).astype(np.float32) * 255)
+    flow = jnp.asarray(rng.uniform(-40, 40, (64, 64, 2)).astype(np.float32))
+    a = np.asarray(warp_image(img, jnp.clip(flow, -16, 16)))
+    b = np.asarray(warp_image_mxu(img, flow, max_disp=16))
+    np.testing.assert_allclose(a, b, atol=1e-3)

@@ -216,3 +216,41 @@ def test_i3d_kinetics_include_top_forward_matches_oracle(tmp_path):
 
     oracle_logits = i3d_kinetics_forward(layers, x, stream="rgb")
     np.testing.assert_allclose(np.asarray(logits), oracle_logits, atol=2e-5)
+
+
+def test_twostream_msgpack_convert_and_load(tmp_path):
+    """convert CLI for TWOSTREAM_I3D (two h5s → one msgpack with both
+    trunks) and the loader consuming it."""
+    rgb_layers = random_i3d_h5_layers(seed=41, stream="rgb")
+    flow_layers = random_i3d_h5_layers(seed=42, stream="flow")
+    rgb_layers.pop("predictions"); flow_layers.pop("predictions")
+    rgb_h5 = wio.write_keras_h5(str(tmp_path / "rgb.h5"), rgb_layers)
+    flow_h5 = wio.write_keras_h5(str(tmp_path / "flow.h5"), flow_layers)
+    out = str(tmp_path / "ts.msgpack")
+
+    from crowded_scenes_ensemble_classification_tpu.cli.main import main as cli_main
+
+    rc = cli_main(["convert", "-mt", "TWOSTREAM_I3D", "--rgb-h5", rgb_h5,
+                   "--flow-h5", flow_h5, "--out", out])
+    assert rc == 0
+
+    from crowded_scenes_ensemble_classification_tpu.models import TwoStreamI3D
+    from crowded_scenes_ensemble_classification_tpu.models.pretrained import (
+        load_pretrained_variables,
+    )
+
+    module = TwoStreamI3D(num_classes=11)
+    fresh = module.init(
+        jax.random.key(0), jnp.zeros((1, 16, 32, 32, 3)),
+        jnp.zeros((1, 16, 32, 32, 2)),
+    )
+    v = load_pretrained_variables("TWOSTREAM_I3D", fresh, 11, rgb_h5=out)
+    # trunk weights came from the checkpoints, head stayed fresh
+    got = np.asarray(v["params"]["rgb_trunk"]["Conv3d_1a_7x7"]["conv"]["kernel"])
+    np.testing.assert_array_equal(
+        got, rgb_layers["Conv3d_1a_7x7_rgb_conv"]["kernel"]
+    )
+    got_f = np.asarray(v["params"]["flow_trunk"]["Conv3d_1a_7x7"]["conv"]["kernel"])
+    np.testing.assert_array_equal(
+        got_f, flow_layers["Conv3d_1a_7x7_flow_conv"]["kernel"]
+    )
