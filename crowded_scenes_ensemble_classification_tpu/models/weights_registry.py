@@ -82,9 +82,13 @@ def fetch_weights(
     os.makedirs(cache_dir, exist_ok=True)
     tmp = path + ".download"
     try:
+        import shutil
         import urllib.request
 
-        urllib.request.urlretrieve(url, tmp)  # noqa: S310 — registry URLs only
+        # explicit timeout: in an egress-less environment urlretrieve would
+        # block forever instead of raising
+        with urllib.request.urlopen(url, timeout=60) as r, open(tmp, "wb") as f:  # noqa: S310
+            shutil.copyfileobj(r, f)
         os.replace(tmp, path)
     except Exception as e:  # pragma: no cover — network-dependent
         if os.path.exists(tmp):
