@@ -287,3 +287,81 @@ def test_halo_sharded_train_step_matches_unsharded():
             np.asarray(ref_bs[name]["bn"]["var"]),
             atol=1e-5,
         )
+
+
+class _I3DStemChain(__import__("flax.linen", fromlist=["nn"]).Module):
+    """Unsharded oracle of the EXACT I3D front-end layer sequence
+    (train.py:1026-1046): 7³/2 stem → maxpool(1,3,3)/(1,2,2) →
+    1×1×1 ConvBN → 3³ ConvBN → maxpool(1,3,3)/(1,2,2)."""
+
+    @__import__("flax.linen", fromlist=["nn"]).compact
+    def __call__(self, x, train: bool = True):
+        from crowded_scenes_ensemble_classification_tpu.models.common import (
+            ConvBN,
+            max_pool_3d,
+        )
+
+        x = ConvBN(8, (7, 7, 7), strides=(2, 2, 2), name="stem")(x, train)
+        x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), "SAME")
+        x = ConvBN(8, (1, 1, 1), name="c2b")(x, train)
+        x = ConvBN(12, (3, 3, 3), name="c2c")(x, train)
+        x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), "SAME")
+        return x
+
+
+def test_halo_train_i3d_stem_chain_matches_unsharded():
+    """Long-clip TRAINING on the real I3D front-end: the full stem chain
+    (7-tap temporal halos through a strided conv, spatial-only pools,
+    1×1×1 and 3³ ConvBNs) time-sharded over 8 devices reproduces the
+    unsharded Flax step's loss, gradients and BN batch statistics."""
+    from crowded_scenes_ensemble_classification_tpu.parallel.halo_train import (
+        make_time_sharded_convbn_train_step,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 32, 16, 16, 3)), jnp.float32)
+
+    model = _I3DStemChain()
+    variables = model.init(jax.random.key(0), x, train=True)
+    params = variables["params"]
+
+    target_shape = jax.eval_shape(
+        lambda v, x: model.apply(v, x, train=False), variables, x
+    ).shape
+    target = jnp.asarray(rng.normal(size=target_shape), jnp.float32)
+
+    def flax_loss(p):
+        out, upd = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return jnp.mean(jnp.square(out - target)), upd["batch_stats"]
+
+    (ref_loss, ref_bs), ref_grads = jax.value_and_grad(flax_loss, has_aux=True)(params)
+
+    mesh = make_mesh((("time", 8),))
+    specs = [
+        {"strides": (2, 2, 2), "pool": ((1, 3, 3), (1, 2, 2))},
+        {"strides": (1, 1, 1)},
+        {"strides": (1, 1, 1), "pool": ((1, 3, 3), (1, 2, 2))},
+    ]
+    step = make_time_sharded_convbn_train_step(mesh, specs)
+    names = ("stem", "c2b", "c2c")
+    sh_params = tuple(
+        {"kernel": params[n]["conv"]["kernel"], "bias": params[n]["bn"]["bias"]}
+        for n in names
+    )
+    loss, grads, stats = step(sh_params, x, target)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for i, n in enumerate(names):
+        np.testing.assert_allclose(
+            np.asarray(grads[i]["kernel"]),
+            np.asarray(ref_grads[n]["conv"]["kernel"]),
+            atol=2e-4, rtol=1e-4, err_msg=n,
+        )
+        np.testing.assert_allclose(
+            np.asarray(grads[i]["bias"]),
+            np.asarray(ref_grads[n]["bn"]["bias"]),
+            atol=2e-4, rtol=1e-4, err_msg=n,
+        )
