@@ -20,7 +20,6 @@ instead of the reference's 11^M-iteration Python loop.
 from __future__ import annotations
 
 import itertools
-from functools import partial
 from typing import Optional, Sequence, Union
 
 import jax
@@ -101,8 +100,8 @@ def _grid_candidates(n_members: int) -> np.ndarray:
     return np.asarray(rows, np.float32)
 
 
-@partial(jax.jit, static_argnames=("block",))
-def _grid_scores(yhats: jax.Array, cands: jax.Array, labels: jax.Array, block: int = 0):
+@jax.jit
+def _grid_scores(yhats: jax.Array, cands: jax.Array, labels: jax.Array):
     """Accuracy of every candidate weighting in one fused pass."""
     m, n, c = yhats.shape
     flat = yhats.reshape(m, n * c)

@@ -86,6 +86,36 @@ def streaming_predict_batch(
     return jnp.mean(probs, axis=1)
 
 
+def _jitted_member_probabilities(
+    bundle: ModelBundle, stride: int, input_scale: float
+):
+    """One jitted closure per (bundle, stride, input_scale), cached on the
+    bundle — repeated calls (CLI batches, epochs) reuse the same trace."""
+    cache = bundle.__dict__.setdefault("_streaming_jit_cache", {})
+    key = (stride, input_scale)
+    if key not in cache:
+        window = bundle.clip.frames
+
+        @jax.jit
+        def fn(stacked_variables, clips):
+            b, t = int(clips.shape[0]), int(clips.shape[1])
+            n_win = len(window_starts(t, window, stride))
+            wins = jax.vmap(lambda c: extract_windows(c, window, stride))(
+                clips.astype(jnp.float32) * input_scale
+            )
+            flat = wins.reshape((b * n_win,) + wins.shape[2:])
+
+            def member(variables):
+                logits = bundle.apply(variables, {"rgb": flat}, train=False)
+                probs = jax.nn.softmax(logits, axis=-1).reshape(b, n_win, -1)
+                return jnp.mean(probs, axis=1)
+
+            return jax.vmap(member)(stacked_variables)
+
+        cache[key] = fn
+    return cache[key]
+
+
 def streaming_member_probabilities(
     bundle: ModelBundle,
     stacked_variables: Dict,
@@ -96,21 +126,9 @@ def streaming_member_probabilities(
     """Long-video ensemble inference: (B, T, H, W, C) clips × M stacked
     members → (M, B, C) window-averaged softmax scores.  Members vmap over
     the stacked params (ensemble.members), windows batch over the data axis
-    — members × windows fully parallel."""
-    import jax as _jax
-
-    window = bundle.clip.frames
-    stride = stride or window // 2
-    b, t = int(clips.shape[0]), int(clips.shape[1])
-    n_win = len(window_starts(t, window, stride))
-    wins = _jax.vmap(lambda c: extract_windows(c, window, stride))(
-        clips.astype(jnp.float32) * input_scale
+    — members × windows fully parallel.  Jitted (trace cached per bundle +
+    stride + input shapes)."""
+    stride = stride or bundle.clip.frames // 2
+    return _jitted_member_probabilities(bundle, int(stride), float(input_scale))(
+        stacked_variables, clips
     )
-    flat = wins.reshape((b * n_win,) + wins.shape[2:])
-
-    def member(variables):
-        logits = bundle.apply(variables, {"rgb": flat}, train=False)
-        probs = _jax.nn.softmax(logits, axis=-1).reshape(b, n_win, -1)
-        return jnp.mean(probs, axis=1)
-
-    return _jax.vmap(member)(stacked_variables)

@@ -212,10 +212,17 @@ def evaluate_model(
     mesh: Optional[Mesh] = None,
     collect_probs: bool = False,
     input_scale: float = 1.0,
+    eval_step=None,
 ) -> Dict[str, Any]:
     """Masked-accurate eval over a BatchPipeline (reference evaluate(),
-    train.py:1925-1971 — but batched instead of batch_size=1)."""
-    step = make_eval_step(bundle, out_hw, mesh, input_scale=input_scale)
+    train.py:1925-1971 — but batched instead of batch_size=1).
+
+    Pass `eval_step` (a make_eval_step result) to reuse one traced/compiled
+    step across calls — `fit` does this so the val eval compiles once per
+    fit, not once per epoch."""
+    step = eval_step if eval_step is not None else make_eval_step(
+        bundle, out_hw, mesh, input_scale=input_scale
+    )
     loss_sum = 0.0
     correct = 0.0
     count = 0.0
@@ -305,6 +312,10 @@ def fit(
     train_step = make_train_step(
         bundle, tx, out_hw, augment, augment_p, l2w, mesh, input_scale=input_scale
     )
+    # One jitted eval step for the whole fit: rebuilding it per epoch would
+    # retrace (and, on TPU backends without a persistent compile cache,
+    # recompile) the full forward every epoch of the hottest loop.
+    eval_step = make_eval_step(bundle, out_hw, mesh, input_scale=input_scale)
     early = EarlyStopping(patience=early_stopping_patience)
     history = {"loss": [], "accuracy": [], "val_loss": [], "val_accuracy": []}
     best_val = math.inf
@@ -347,7 +358,7 @@ def fit(
 
         val = evaluate_model(
             bundle, state.variables(), val_pipeline, out_hw, mesh,
-            input_scale=input_scale,
+            input_scale=input_scale, eval_step=eval_step,
         )
         history["loss"].append(epoch_loss)
         history["accuracy"].append(epoch_acc)

@@ -132,6 +132,30 @@ def test_fit_balanced_and_augmented(synth):
     assert math.isfinite(result["history"]["loss"][0])
 
 
+def test_fit_traces_eval_step_once(synth, monkeypatch):
+    """Regression: fit must build/trace the jitted eval step ONCE per fit,
+    not once per epoch (a full XLA recompile per epoch on backends without
+    a persistent compile cache)."""
+    from crowded_scenes_ensemble_classification_tpu.train import engine
+
+    bundle = tiny_c3d_bundle()
+    train_pipe, val_pipe = make_pipes(synth, bundle)
+
+    build_calls = {"n": 0}
+    real_make = engine.make_eval_step
+
+    def counting_make(*args, **kwargs):
+        build_calls["n"] += 1
+        return real_make(*args, **kwargs)
+
+    monkeypatch.setattr(engine, "make_eval_step", counting_make)
+    fit(
+        bundle, train_pipe, val_pipe, epochs=3, seed=0,
+        input_scale=1 / 255.0, optimizer=_adam_for_tests(),
+    )
+    assert build_calls["n"] == 1
+
+
 # ------------------------------------------------------------ callbacks
 
 
