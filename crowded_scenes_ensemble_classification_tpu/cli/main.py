@@ -429,7 +429,7 @@ def main(argv=None) -> int:
             )
         out, _ = convert_keras_checkpoint(
             args.model_type, args.out, rgb_h5=rgb_h5, flow_h5=flow_h5,
-            num_classes=args.num_classes,
+            num_classes=args.num_classes, include_top=args.include_top,
         )
         print(out)
         return 0

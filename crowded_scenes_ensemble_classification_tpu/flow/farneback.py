@@ -142,7 +142,8 @@ def _displacement_update(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "levels", "winsize", "iterations", "poly_n", "poly_sigma", "fast_warp"
+        "levels", "winsize", "iterations", "poly_n", "poly_sigma", "fast_warp",
+        "max_disp",
     ),
 )
 def farneback_flow_pair(
@@ -154,6 +155,7 @@ def farneback_flow_pair(
     poly_n: int = 5,
     poly_sigma: float = 1.1,
     fast_warp: bool = False,
+    max_disp: int = 32,
 ) -> jax.Array:
     """Dense flow prev→curr for two gray float images (H, W) → (H, W, 2).
 
@@ -164,13 +166,18 @@ def farneback_flow_pair(
     coarse-to-fine solver the separable form still wins overall (150 vs
     119 fields/s — small pyramid levels favour shifts), so fast_warp=True
     remains the throughput knob; both bound displacements per warp, and
-    the e2e TwoStream test shows predictions are identical either way."""
+    the e2e TwoStream test shows predictions are identical either way.
+
+    max_disp bounds the PER-WARP displacement: motions beyond ±max_disp px
+    at a pyramid level saturate (PARITY.md).  The default 32 comfortably
+    covers Crowd-11-scale motion; raise it for large-motion footage (cost
+    grows linearly in the y shift-accumulate)."""
     kernels, Ginv = _poly_exp_setup(poly_n, poly_sigma)
     win = box_kernel(winsize)
     warp = (
-        warp_image_separable
+        functools.partial(warp_image_separable, max_disp=max_disp)
         if fast_warp
-        else functools.partial(warp_image_mxu, max_disp=32)
+        else functools.partial(warp_image_mxu, max_disp=max_disp)
     )
 
     pyr_prev = build_pyramid(prev.astype(jnp.float32), levels)

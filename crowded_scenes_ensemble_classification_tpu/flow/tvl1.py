@@ -54,7 +54,10 @@ def _divergence(px: jax.Array, py: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("levels", "warps", "inner_iters", "fast_warp", "compute_dtype"),
+    static_argnames=(
+        "levels", "warps", "inner_iters", "fast_warp", "compute_dtype",
+        "max_disp",
+    ),
 )
 def tvl1_flow_pair(
     prev: jax.Array,
@@ -68,6 +71,7 @@ def tvl1_flow_pair(
     eps_grad: float = 1e-6,
     fast_warp: bool = False,
     compute_dtype=jnp.float32,
+    max_disp: int = 32,
 ) -> jax.Array:
     """Dense TV-L1 flow prev→curr: (H, W) gray floats → (H, W, 2).
 
@@ -101,9 +105,9 @@ def tvl1_flow_pair(
         # exact path = gather-free MXU warp (faster than the separable
         # approximation on TPU — see pyramid.warp_image_mxu)
         warp = (
-            warp_image_separable
+            _ft.partial(warp_image_separable, max_disp=max_disp)
             if fast_warp
-            else _ft.partial(warp_image_mxu, max_disp=32)
+            else _ft.partial(warp_image_mxu, max_disp=max_disp)
         )
         for _ in range(warps):
             u0 = flow

@@ -36,8 +36,19 @@ def load_pretrained_variables(
 
     A path ending in .msgpack is treated as pre-converted framework
     variables (written by weights_registry.convert_keras_checkpoint / the
-    `convert` CLI) and merged directly."""
-    if rgb_h5 is not None and rgb_h5.endswith(".msgpack"):
+    `convert` CLI) and merged directly.  For TWOSTREAM_I3D a msgpack must
+    be the SINGLE combined file holding both trunks (what `convert -mt
+    TWOSTREAM_I3D` writes), passed as rgb_h5 with flow_h5 omitted — mixed
+    msgpack/h5 inputs are rejected rather than silently half-loaded."""
+    rgb_is_mp = rgb_h5 is not None and rgb_h5.endswith(".msgpack")
+    flow_is_mp = flow_h5 is not None and flow_h5.endswith(".msgpack")
+    if flow_is_mp:
+        raise ValueError(
+            "flow_h5 must be a Keras .h5, not a .msgpack: converted "
+            "TwoStream variables are a single combined file (both trunks) "
+            "— pass it as rgb_h5 and omit flow_h5"
+        )
+    if rgb_is_mp:
         from .weights_registry import load_converted_variables
 
         converted = load_converted_variables(rgb_h5)
@@ -47,6 +58,19 @@ def load_pretrained_variables(
             p = converted.get("params", {})
             if "fc8" in p and p["fc8"]["kernel"].shape[-1] != num_classes:
                 p.pop("fc8")
+        if model_type == "TWOSTREAM_I3D":
+            if flow_h5 is not None:
+                raise ValueError(
+                    "TWOSTREAM_I3D msgpack is the single combined file — "
+                    "flow_h5 must not also be given (it would be ignored)"
+                )
+            if "flow_trunk" not in converted.get("params", {}):
+                raise ValueError(
+                    f"{rgb_h5} has no flow_trunk: the flow stream would "
+                    "keep random init.  Convert the combined TwoStream "
+                    "checkpoint (`convert -mt TWOSTREAM_I3D --rgb-h5 ... "
+                    "--flow-h5 ...`)"
+                )
         return wio.merge_pretrained(fresh_variables, converted)
     if model_type == "C3D":
         if rgb_h5 is None:

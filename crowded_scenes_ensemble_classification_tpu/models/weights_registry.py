@@ -111,6 +111,7 @@ def convert_keras_checkpoint(
     rgb_h5: Optional[str] = None,
     flow_h5: Optional[str] = None,
     num_classes: Optional[int] = None,
+    include_top: bool = False,
 ) -> Tuple[str, Dict]:
     """Convert reference-format Keras h5 checkpoint(s) into a single
     msgpack variables file loadable by ``load_converted_variables``.
@@ -122,16 +123,33 @@ def convert_keras_checkpoint(
     fc8); the pop-softmax surgery (train.py:1672-1678) happens at LOAD
     time, where a mismatched head is dropped in favour of the fresh init
     (models.pretrained).  num_classes only filters the I3D 'predictions'
-    Dense."""
+    Dense.
+
+    include_top=True (I3D only) converts a with-classification-top Kinetics
+    checkpoint — trunk + the Conv3d_6a_1x1 head — into I3DKinetics
+    variables via i3d_kinetics_variables_from_keras (the plain I3D
+    converter would silently drop that head)."""
     import flax.serialization
 
     from . import weights_io as wio
 
+    if include_top and model_type != "I3D":
+        raise ValueError(
+            "--include-top only applies to -mt I3D (the Kinetics "
+            "classification top, reference train.py:1196-1213); C3D keeps "
+            "its fc8 verbatim and TwoStream loads no-top trunks"
+        )
     if model_type == "C3D":
         if rgb_h5 is None:
             raise ValueError("C3D conversion needs --rgb-h5 (sports1M)")
         variables = wio.c3d_variables_from_keras(
             wio.read_keras_h5(rgb_h5), num_classes=None
+        )
+    elif model_type == "I3D" and include_top:
+        if rgb_h5 is None:
+            raise ValueError("I3D conversion needs --rgb-h5")
+        variables = wio.i3d_kinetics_variables_from_keras(
+            wio.read_keras_h5(rgb_h5), stream="rgb"
         )
     elif model_type == "I3D":
         if rgb_h5 is None:

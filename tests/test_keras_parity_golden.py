@@ -254,3 +254,72 @@ def test_twostream_msgpack_convert_and_load(tmp_path):
     np.testing.assert_array_equal(
         got_f, flow_layers["Conv3d_1a_7x7_flow_conv"]["kernel"]
     )
+
+
+def test_twostream_msgpack_rejects_mixed_inputs(tmp_path):
+    """ADVICE r2: a TwoStream msgpack must be the single combined file —
+    mixed msgpack/h5 inputs error instead of silently half-loading."""
+    import flax.serialization
+
+    from crowded_scenes_ensemble_classification_tpu.models.pretrained import (
+        load_pretrained_variables,
+    )
+
+    # an rgb-only msgpack (no flow_trunk): loading it for TWOSTREAM must fail
+    rgb_only = {"params": {"rgb_trunk": {"k": np.zeros(1, np.float32)}}}
+    rgb_mp = str(tmp_path / "rgb_only.msgpack")
+    with open(rgb_mp, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(rgb_only))
+    with pytest.raises(ValueError, match="flow_trunk"):
+        load_pretrained_variables("TWOSTREAM_I3D", {"params": {}}, 11, rgb_h5=rgb_mp)
+
+    # a combined msgpack + an extra flow h5 must fail (flow would be ignored)
+    combined = {
+        "params": {
+            "rgb_trunk": {"k": np.zeros(1, np.float32)},
+            "flow_trunk": {"k": np.zeros(1, np.float32)},
+        }
+    }
+    comb_mp = str(tmp_path / "combined.msgpack")
+    with open(comb_mp, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(combined))
+    with pytest.raises(ValueError, match="combined"):
+        load_pretrained_variables(
+            "TWOSTREAM_I3D", {"params": {}}, 11, rgb_h5=comb_mp,
+            flow_h5=str(tmp_path / "flow.h5"),
+        )
+
+    # a msgpack passed as flow_h5 must fail with a clear message (it used
+    # to fall through to read_keras_h5 and die with an h5py error)
+    with pytest.raises(ValueError, match="msgpack"):
+        load_pretrained_variables(
+            "TWOSTREAM_I3D", {"params": {}}, 11,
+            rgb_h5=str(tmp_path / "rgb.h5"), flow_h5=comb_mp,
+        )
+
+
+def test_convert_include_top_routes_to_kinetics_converter(tmp_path):
+    """ADVICE r2: `convert -mt I3D --include-top` must keep the Kinetics
+    Conv3d_6a_1x1 head (via i3d_kinetics_variables_from_keras), not drop it."""
+    layers = random_i3d_h5_layers(seed=61, num_classes=7, include_top=True)
+    h5_path = wio.write_keras_h5(str(tmp_path / "i3d_top.h5"), layers)
+    out = str(tmp_path / "i3d_top.msgpack")
+
+    from crowded_scenes_ensemble_classification_tpu.cli.main import main as cli_main
+
+    rc = cli_main(["convert", "-mt", "I3D", "--rgb-h5", h5_path,
+                   "--include-top", "--out", out])
+    assert rc == 0
+    v = wreg.load_converted_variables(out)
+    assert "Conv3d_6a_1x1" in v["params"], "Kinetics head must survive convert"
+    np.testing.assert_array_equal(
+        v["params"]["Conv3d_6a_1x1"]["conv"]["kernel"],
+        layers["Conv3d_6a_1x1_rgb_conv"]["kernel"],
+    )
+
+    # include_top is I3D-only: C3D keeps fc8 verbatim, TwoStream loads
+    # no-top trunks — reject with a clear message
+    with pytest.raises(ValueError, match="include-top"):
+        wreg.convert_keras_checkpoint(
+            "C3D", str(tmp_path / "x.msgpack"), rgb_h5=h5_path, include_top=True
+        )
