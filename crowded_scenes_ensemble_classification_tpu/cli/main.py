@@ -126,6 +126,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--subset", choices=["test", "train_val"], default="test")
     p.add_argument("--export-csv", action="store_true",
                    help="also write the legacy (path, probabilities) CSV")
+    p.add_argument("--long-video", action="store_true",
+                   help="scan strided model windows over long clips with "
+                        "on-device score averaging (the reference collapsed "
+                        "any video to one subsampled window, "
+                        "train.py:132-145); RGB models only")
+    p.add_argument("--window-stride", type=int, default=None,
+                   help="frame stride between windows (default: half the "
+                        "model window)")
+    p.add_argument("--long-frames", type=int, default=None,
+                   help="frames staged per long clip (default: 4x the "
+                        "model window)")
 
     p = sub.add_parser("ensemble", help="ensemble evaluation")
     _add_config_flags(p)
@@ -151,6 +162,22 @@ def build_parser() -> argparse.ArgumentParser:
         default="confusion",
     )
     p.add_argument("--weights-type", "-wt", choices=WEIGHTING_SCHEMES, default="SUM")
+    p.add_argument(
+        "--scope", choices=["homogeneous", "global"], default="homogeneous",
+        help="difference matrices for the per-config ensemble or for the "
+             "GLOBAL heterogeneous ensemble (reference Unique vs Global "
+             "paths, evaluate_ensemble.py:397-489 vs 490-614)",
+    )
+    p.add_argument(
+        "--subset", choices=["test", "train_val"], default="test",
+        help="agreement diagrams over the test or the train+val sets "
+             "(reference stickDiagrams variants, evaluate_ensemble.py:"
+             "856-999, 928-996)",
+    )
+    p.add_argument(
+        "--models", "-ml", nargs="*", default=None,
+        help="model specs for --scope global (same syntax as `ensemble`)",
+    )
 
     p = sub.add_parser(
         "convert",
@@ -267,7 +294,12 @@ def main(argv=None) -> int:
             else range(config.folds_number)
         )
         for t in tests:
-            path = cache_probabilities(config, layout, t, args.subset)
+            path = cache_probabilities(
+                config, layout, t, args.subset,
+                long_video=args.long_video,
+                window_stride=args.window_stride,
+                long_frames=args.long_frames,
+            )
             print(path)
             if args.export_csv:
                 print(export_reference_csv(path, path.replace(".npz", ".csv")))
@@ -347,6 +379,51 @@ def main(argv=None) -> int:
         config = _config_from_args(args)
         layout = WorkLayout(args.work_dir)
         provider = make_prob_provider(config, layout)
+        os.makedirs(layout.results_dir, exist_ok=True)
+
+        if args.operation == "difference" and args.scope == "global":
+            # Global heterogeneous path: (global-ensemble CM − individual
+            # member CM) heatmaps (reference evaluate_ensemble.py:490-614).
+            from ..ensemble.evaluate import global_evaluate_ensembles
+
+            if args.models:
+                from ..orchestration import global_prob_providers
+
+                providers = global_prob_providers(
+                    args.models, args.work_dir, config.folds_number,
+                    config.num_classes,
+                )
+            else:
+                providers = {config.subfolder_name(): provider}
+            gres = global_evaluate_ensembles(providers, config.folds_number)
+            for f in gres.folds:
+                first = next(iter(providers.values()))(f.test_index, "test")
+                ens_cm = row_normalize(
+                    confusion_matrix(
+                        first["labels"], f.predictions, config.num_classes
+                    )
+                )
+                for cfg_name, prov in providers.items():
+                    d = prov(f.test_index, "test")
+                    for i in range(d["probs"].shape[0]):
+                        member_cm = row_normalize(
+                            confusion_matrix(
+                                d["labels"],
+                                np.argmax(d["probs"][i], -1),
+                                config.num_classes,
+                            )
+                        )
+                        path = render_difference_pdf(
+                            difference_matrix(ens_cm, member_cm),
+                            os.path.join(
+                                layout.results_dir,
+                                f"difference_global_{cfg_name}"
+                                f"_t{f.test_index}_m{i}.pdf",
+                            ),
+                        )
+                        print(path)
+            return 0
+
         res = evaluate_ensembles(
             provider,
             config.folds_number,
@@ -354,7 +431,6 @@ def main(argv=None) -> int:
             name=config.subfolder_name(),
             min_val_losses_provider=min_val_losses_provider(config, layout),
         )
-        os.makedirs(layout.results_dir, exist_ok=True)
         k = config.folds_number
         if args.operation == "confusion":
             cms = []
@@ -395,18 +471,20 @@ def main(argv=None) -> int:
                         ),
                     )
                     print(path)
-        else:  # agreement
+        else:  # agreement — test or train_val sets (reference
+            # stickDiagrams variants, evaluate_ensemble.py:856-999, 928-996)
             hists = []
             n_members = config.folds_number - 1
             for f in res.folds:
-                d = provider(f.test_index, "test")
+                d = provider(f.test_index, args.subset)
                 counts = members_correct_per_clip(d["probs"], d["labels"])
                 hists.append(agreement_histogram(counts, n_members))
+            suffix = "" if args.subset == "test" else f"_{args.subset}"
             path = render_agreement_pdf(
                 hists,
                 os.path.join(
                     layout.results_dir,
-                    f"agreement_{config.subfolder_name()}.pdf",
+                    f"agreement_{config.subfolder_name()}{suffix}.pdf",
                 ),
                 n_members=n_members,
             )

@@ -44,8 +44,12 @@ def make_member_forward(
     member_axis: str = "member",
     data_axis: str = "data",
     flow_fast_warp: bool = False,
+    flow_params: Optional[dict] = None,
 ):
-    """Returns fn(stacked_vars, batch) → (M, B, C) softmax probabilities."""
+    """Returns fn(stacked_vars, batch) → (M, B, C) softmax probabilities.
+
+    flow_params forwards extra kwargs to farneback_flow_pair — e.g.
+    `flow.farneback.TURBO_PARAMS` for the EPE-gated adaptive schedule."""
     two_stream = bundle.two_stream
 
     def forward(stacked_vars, batch):
@@ -60,14 +64,12 @@ def make_member_forward(
                 # train.engine._preprocess for the convention)
                 from ..flow.farneback import farneback_flow_pair
 
+                kw = dict(flow_params or {})
+                kw.setdefault("fast_warp", flow_fast_warp)
                 gray = batch["gray"].astype(jnp.float32)[..., 0]
                 gray_next = batch["gray_next"].astype(jnp.float32)[..., 0]
                 flows = jax.vmap(
-                    jax.vmap(
-                        lambda a, b: farneback_flow_pair(
-                            a, b, fast_warp=flow_fast_warp
-                        )
-                    )
+                    jax.vmap(lambda a, b: farneback_flow_pair(a, b, **kw))
                 )(gray, gray_next)
                 inputs["flow"] = identity_resize_batch(flows, out_hw)
 

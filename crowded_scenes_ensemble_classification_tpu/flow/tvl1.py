@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import functools as _ft
+
 
 from .pyramid import (
     build_pyramid,
@@ -52,11 +52,22 @@ def _divergence(px: jax.Array, py: jax.Array) -> jax.Array:
     return dx + dy
 
 
+# Adaptive throughput preset (VERDICT r2 item 9): the dual loop at fine
+# levels starts from an upsampled near-converged solution, so it needs a
+# fraction of the coarse-level budget.  EPE-gated against the same
+# per-motion ceilings as the full schedule (tests/test_flow_motions.py).
+# Measured v5e, 76 vmapped 224² pairs, bf16 duals: 863 fields/s vs 94 for
+# the full schedule (9.2×); w2/i12/f2 middle ground: 733.
+TVL1_TURBO_PARAMS = dict(
+    fast_warp=True, fine_warps=2, fine_inner_iters=8, fine_levels=3
+)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "levels", "warps", "inner_iters", "fast_warp", "compute_dtype",
-        "max_disp",
+        "max_disp", "fine_warps", "fine_inner_iters", "fine_levels",
     ),
 )
 def tvl1_flow_pair(
@@ -72,6 +83,9 @@ def tvl1_flow_pair(
     fast_warp: bool = False,
     compute_dtype=jnp.float32,
     max_disp: int = 32,
+    fine_warps: int | None = None,
+    fine_inner_iters: int | None = None,
+    fine_levels: int = 0,
 ) -> jax.Array:
     """Dense TV-L1 flow prev→curr: (H, W) gray floats → (H, W, 2).
 
@@ -81,7 +95,12 @@ def tvl1_flow_pair(
     compute_dtype=jnp.bfloat16 runs the dual inner loop (the throughput-
     dominant part) in bf16 — the pyramids/warps stay f32 and the returned
     flow is f32.  EPE on the synthetic motion suite degrades by < 0.02 px
-    (tests/test_flow_motions.py bounds still hold)."""
+    (tests/test_flow_motions.py bounds still hold).
+
+    fine_warps / fine_inner_iters (TVL1_TURBO_PARAMS) reduce the schedule
+    at the `fine_levels` finest levels: the dual loop there starts from an
+    upsampled near-converged solution, so most of its budget is wasted —
+    the adaptive schedule holds the same EPE ceilings (VERDICT r2 item 9)."""
     prev = prev.astype(jnp.float32)
     curr = curr.astype(jnp.float32)
     lo = jnp.minimum(jnp.min(prev), jnp.min(curr))
@@ -101,15 +120,20 @@ def tvl1_flow_pair(
         if flow.shape[:2] != I0.shape:
             flow = upsample_flow(flow, I0.shape)
         I1x_full, I1y_full = image_gradients(I1)
+        fine = lvl < fine_levels
+        warps_lvl = fine_warps if (fine and fine_warps) else warps
+        inner_lvl = (
+            fine_inner_iters if (fine and fine_inner_iters) else inner_iters
+        )
 
         # exact path = gather-free MXU warp (faster than the separable
         # approximation on TPU — see pyramid.warp_image_mxu)
         warp = (
-            _ft.partial(warp_image_separable, max_disp=max_disp)
+            functools.partial(warp_image_separable, max_disp=max_disp)
             if fast_warp
-            else _ft.partial(warp_image_mxu, max_disp=max_disp)
+            else functools.partial(warp_image_mxu, max_disp=max_disp)
         )
-        for _ in range(warps):
+        for _ in range(warps_lvl):
             u0 = flow
             # image + both gradients resampled at identical positions —
             # ONE channel-packed warp (shared one-hot/weight fields;
@@ -160,7 +184,7 @@ def tvl1_flow_pair(
 
             zeros = jnp.zeros(I0.shape, compute_dtype)
             flow, *_ = jax.lax.fori_loop(
-                0, inner_iters, inner,
+                0, inner_lvl, inner,
                 (u0.astype(compute_dtype), zeros, zeros, zeros, zeros),
             )
             flow = flow.astype(jnp.float32)

@@ -97,6 +97,7 @@ def crowd11_augment_batch(
     out_hw: Tuple[int, int],
     p: float = 0.75,
     noise_impl: str = "xla",
+    crop_margin: int = CROP_MARGIN,
 ) -> jax.Array:
     """vmapped policy over a batch (B, T, H, W, C) with independent
     per-sample keys.
@@ -108,14 +109,180 @@ def crowd11_augment_batch(
     keys = jax.random.split(key, clips.shape[0])
     if noise_impl == "pallas":
         out = jax.vmap(
-            lambda c, k: crowd11_augment(c, k, out_hw, p, apply_noise=False)
+            lambda c, k: crowd11_augment(
+                c, k, out_hw, p, crop_margin, apply_noise=False
+            )
         )(clips, keys)
         from .pallas.noise import crowd11_noise_pallas
 
         return crowd11_noise_pallas(out, jax.random.fold_in(key, 1), p)
-    return jax.vmap(lambda c, k: crowd11_augment(c, k, out_hw, p))(clips, keys)
+    return jax.vmap(lambda c, k: crowd11_augment(c, k, out_hw, p, crop_margin))(
+        clips, keys
+    )
 
 
 def identity_resize_batch(clips: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     """The non-augmented path: plain per-clip resize (train.py:283-289)."""
     return jax.vmap(lambda c: crop_resize(c, out_hw))(clips)
+
+
+# ----------------------------------------------------------------------
+# Window transfers: host slices the crop window, device does the math.
+#
+# Through a slow host→device link the full staging frames dominate the
+# wire; but the crop DECISION is pure key math and the slice is pure
+# indexing, so the host can pre-slice the exact window the device will
+# sample and send ~(H−60)² instead of H² pixels — no pixel arithmetic
+# moves to the host and determinism is unchanged (threefry bits are
+# backend-independent, so the host and device derive identical gates
+# from the same key).
+# ----------------------------------------------------------------------
+
+
+def augment_crop_decisions(
+    key: jax.Array,
+    batch_size: int,
+    staging_hw: Tuple[int, int],
+    p: float = 0.75,
+    crop_margin: int = CROP_MARGIN,
+):
+    """Host-side replica of crowd11_augment's crop decisions.
+
+    Performs EXACTLY the same key splits as `crowd11_augment` (split 7,
+    gate from k_crop_gate, offsets from k_crop_pos) so a host that slices
+    windows with these decisions agrees bit-for-bit with a device that
+    re-derives them from the same `key`.  Returns numpy
+    (do_crop (B,) bool, y0 (B,) int32, x0 (B,) int32).
+    """
+    h, w = staging_hw
+    ch, cw = max(h - crop_margin, 1), max(w - crop_margin, 1)
+
+    def one(k):
+        k_crop_gate, k_crop_pos = jax.random.split(k, 7)[:2]
+        do_crop = jax.random.bernoulli(k_crop_gate, p)
+        ky, kx = jax.random.split(k_crop_pos)
+        y0 = jax.random.randint(ky, (), 0, h - ch + 1)
+        x0 = jax.random.randint(kx, (), 0, w - cw + 1)
+        return do_crop, y0, x0
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        keys = jax.random.split(jax.device_put(key, cpu), batch_size)
+        do_crop, y0, x0 = jax.jit(jax.vmap(one))(keys)
+    import numpy as np
+
+    return np.asarray(do_crop), np.asarray(y0), np.asarray(x0)
+
+
+def crowd11_augment_windowed(
+    window: jax.Array,
+    key: jax.Array,
+    out_hw: Tuple[int, int],
+    staging_hw: Tuple[int, int],
+    p: float = 0.75,
+    crop_margin: int = CROP_MARGIN,
+    noise_ratio: int = NOISE_RATIO,
+) -> jax.Array:
+    """crowd11_augment on a PRE-SLICED staging window.
+
+    `window` is (T, out_h, out_w, C): for a cropped clip the host wrote the
+    (H−60)×(W−60) crop window (chosen by `augment_crop_decisions` from this
+    same `key`) into the top-left corner; for an uncropped clip it wrote
+    the full frame already resized to out_hw (decode-time u8 resize — the
+    reference's own cv2.resize-on-uint8 semantics, train.py:283-289).
+
+    The crop gate, flip and salt/pepper gates are re-derived from `key`
+    with the same splits as `crowd11_augment`; for cropped clips the
+    result selects the same source pixels with tap weights within 1 ulp
+    of the unwindowed path (≤2e-3 on the 0-255 scale — the full path adds
+    the window origin to the sampling coords before taking frac, the
+    windowed path doesn't).  Uncropped clips see the identity window
+    (out_hw at offset 0 → bilinear weights collapse to exact copies), so
+    flip/noise still apply on-device.
+    """
+    t, bh, bw_, c = window.shape
+    h, w = staging_hw
+    ch, cw = max(h - crop_margin, 1), max(w - crop_margin, 1)
+    k_crop_gate, _k_crop_pos, k_flip, k_salt_gate, k_salt, k_pep_gate, k_pep = (
+        jax.random.split(key, 7)
+    )
+    do_crop = jax.random.bernoulli(k_crop_gate, p)
+    win_h = jnp.where(do_crop, float(ch), float(bh))
+    win_w = jnp.where(do_crop, float(cw), float(bw_))
+    do_flip = jax.random.bernoulli(k_flip, p)
+
+    out = crop_resize(
+        window,
+        out_hw,
+        win_start_yx=(jnp.float32(0.0), jnp.float32(0.0)),
+        win_size_hw=(win_h, win_w),
+        flip_x=do_flip,
+    )
+    do_salt = jax.random.bernoulli(k_salt_gate, p)
+    salt_hits = jax.random.randint(k_salt, out.shape, 0, noise_ratio) == 0
+    out = jnp.where(do_salt & salt_hits, 255.0, out)
+    do_pepper = jax.random.bernoulli(k_pep_gate, p)
+    pepper_hits = jax.random.randint(k_pep, out.shape, 0, noise_ratio) == 0
+    out = jnp.where(do_pepper & pepper_hits, 0.0, out)
+    return out
+
+
+def crowd11_augment_windowed_batch(
+    windows: jax.Array,
+    key: jax.Array,
+    out_hw: Tuple[int, int],
+    staging_hw: Tuple[int, int],
+    p: float = 0.75,
+    crop_margin: int = CROP_MARGIN,
+) -> jax.Array:
+    """vmapped windowed policy over (B, T, out_h, out_w, C) pre-sliced
+    buffers, per-sample keys split exactly like crowd11_augment_batch."""
+    keys = jax.random.split(key, windows.shape[0])
+    return jax.vmap(
+        lambda wnd, k: crowd11_augment_windowed(
+            wnd, k, out_hw, staging_hw, p, crop_margin
+        )
+    )(windows, keys)
+
+
+def decode_time_eval_resize_u8(clip_u8, out_hw: Tuple[int, int]):
+    """Decode-time resize of a u8 (T, H, W, C) clip to u8 out_hw frames —
+    the reference's own preprocessing (cv2.resize on uint8 frames,
+    train.py:283-289, rounds to u8).  Run ONCE at decode/cache-build time
+    so eval-path transfers carry exactly the bytes the model consumes;
+    per-step math stays on device."""
+    import numpy as np
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        out = crop_resize(jnp.asarray(np.asarray(clip_u8), jnp.float32), out_hw)
+    return np.clip(np.rint(np.asarray(out)), 0, 255).astype(np.uint8)
+
+
+def pack_windows_host(
+    staging: "np.ndarray",
+    eval_resized: "np.ndarray",
+    do_crop: "np.ndarray",
+    y0: "np.ndarray",
+    x0: "np.ndarray",
+    out_hw: Tuple[int, int],
+    crop_margin: int = CROP_MARGIN,
+) -> "np.ndarray":
+    """Assemble the (B, T, out_h, out_w, C) u8 transfer buffer on host.
+
+    Pure indexing: cropped clips get their staging crop window in the
+    top-left corner (zero border — long runs compress on the wire);
+    uncropped clips get their precomputed decode-time u8 resize."""
+    import numpy as np
+
+    b, t, h, w, c = staging.shape
+    ch, cw = max(h - crop_margin, 1), max(w - crop_margin, 1)
+    buf = np.zeros((b, t) + tuple(out_hw) + (c,), np.uint8)
+    for i in range(b):
+        if do_crop[i]:
+            buf[i, :, :ch, :cw] = staging[
+                i, :, y0[i] : y0[i] + ch, x0[i] : x0[i] + cw
+            ]
+        else:
+            buf[i] = eval_resized[i]
+    return buf

@@ -344,10 +344,19 @@ def cache_probabilities(
     num_workers: int = 8,
     recompute: bool = False,
     staging_hw=DEFAULT_STAGING_HW,
+    long_video: bool = False,
+    window_stride: Optional[int] = None,
+    long_frames: Optional[int] = None,
 ) -> str:
     """(M, N, C) member probabilities for one test fold → npz cache
     (reference store_probabilities; subset='train_val' concatenates train and
-    val like evaluate_ensemble.py:1079-1108)."""
+    val like evaluate_ensemble.py:1079-1108).
+
+    long_video=True stages `long_frames` frames per clip (default 4× the
+    model window) and scans `window_stride`-strided model windows with
+    on-device score averaging (parallel.streaming) instead of collapsing
+    the video to one subsampled window (the reference's select_frames
+    limitation, train.py:132-145).  RGB pipelines only."""
     bundle = bundle or build_model(config.model_type, config.num_classes)
     path = probability_cache_path(
         layout.probs_dir, config.subfolder_name(), t, subset
@@ -355,11 +364,18 @@ def cache_probabilities(
     if probabilities_exist(path) and not recompute:
         return path
 
+    if long_video and config.is_two_stream:
+        raise ValueError("long-video probability caching is RGB-only")
+
     variables, names = _member_variables(config, layout, bundle, t)
     # any val index works for reading the split CSVs of this test fold
     v0 = member_val_indices(config.folds_number, t)[0]
     spec = SampleSpec(
-        num_frames=config.clip.frames,
+        num_frames=(
+            (long_frames or 4 * config.clip.frames)
+            if long_video
+            else config.clip.frames
+        ),
         staging_hw=staging_hw,
         two_stream=config.is_two_stream,
         flow_precomputed=(config.optical_flow_status == "TVL1_precomputed"),
@@ -380,7 +396,16 @@ def cache_probabilities(
     pipe = BatchPipeline(
         df, spec, batch_size=config.batch_size, shuffle=False, num_workers=num_workers
     )
-    probs = member_probabilities(bundle, variables, pipe, mesh=mesh)
+    if long_video:
+        from .parallel.streaming import (
+            streaming_member_probabilities_over_pipeline,
+        )
+
+        probs = streaming_member_probabilities_over_pipeline(
+            bundle, variables, pipe, stride=window_stride
+        )
+    else:
+        probs = member_probabilities(bundle, variables, pipe, mesh=mesh)
     labels = df["class"].astype(int).values
     save_probabilities(path, probs, labels, names)
     return path

@@ -132,3 +132,35 @@ def streaming_member_probabilities(
     return _jitted_member_probabilities(bundle, int(stride), float(input_scale))(
         stacked_variables, clips
     )
+
+
+def streaming_member_probabilities_over_pipeline(
+    bundle: ModelBundle,
+    variables_list,
+    pipeline,
+    stride: Optional[int] = None,
+    input_scale: float = 1.0,
+) -> np.ndarray:
+    """member_probabilities for LONG clips: a BatchPipeline staging
+    (B, T≫frames, S, S, 3) u8 clips → device resize to model resolution →
+    per-member window-scan probabilities → (M, N, C) float32 in dataset
+    order.  Drop-in replacement for ensemble.members.member_probabilities
+    when the staged clips are longer than the model window — the long-video
+    capability the reference lacked (select_frames collapsed any video to
+    one 16/20-frame window, train.py:132-145)."""
+    from ..data.pipeline import prefetch_batches
+    from ..ensemble.members import stack_variables
+    from ..ops.augment import identity_resize_batch
+
+    out_hw = (bundle.clip.height, bundle.clip.width)
+    stacked = stack_variables(variables_list)
+    resize = jax.jit(lambda u8: identity_resize_batch(u8.astype(jnp.float32), out_hw))
+    chunks = []
+    for batch in prefetch_batches(pipeline, epoch=0):
+        clips = resize(jnp.asarray(batch["rgb"]))
+        probs = streaming_member_probabilities(
+            bundle, stacked, clips, stride=stride, input_scale=input_scale
+        )
+        valid = np.asarray(batch["valid"])
+        chunks.append(np.asarray(probs)[:, valid])
+    return np.concatenate(chunks, axis=1)

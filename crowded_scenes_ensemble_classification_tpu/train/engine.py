@@ -46,6 +46,7 @@ def _preprocess(
     two_stream: bool,
     input_scale: float = 1.0,
     flow_fast_warp: bool = False,
+    flow_params: Optional[dict] = None,
 ):
     """uint8 staging batch → float32 model inputs, on device.
 
@@ -75,12 +76,12 @@ def _preprocess(
             # input_scale (flow is not 0-255 imagery).
             from ..flow.farneback import farneback_flow_pair
 
+            kw = dict(flow_params or {})
+            kw.setdefault("fast_warp", flow_fast_warp)
             gray = batch["gray"].astype(jnp.float32)[..., 0]
             gray_next = batch["gray_next"].astype(jnp.float32)[..., 0]
             flows = jax.vmap(
-                jax.vmap(
-                    lambda a, b: farneback_flow_pair(a, b, fast_warp=flow_fast_warp)
-                )
+                jax.vmap(lambda a, b: farneback_flow_pair(a, b, **kw))
             )(gray, gray_next)
             out["flow"] = identity_resize_batch(flows, out_hw)
     return out
@@ -97,6 +98,7 @@ def make_train_step(
     data_axis: str = "data",
     input_scale: float = 1.0,
     flow_fast_warp: bool = False,
+    flow_params: Optional[dict] = None,
 ):
     two_stream = bundle.two_stream
 
@@ -105,7 +107,7 @@ def make_train_step(
         rng_aug, rng_drop = jax.random.split(rng)
         inputs = _preprocess(
             batch, rng_aug, out_hw, augment, augment_p, two_stream, input_scale,
-            flow_fast_warp,
+            flow_fast_warp, flow_params,
         )
         labels = batch["label"].astype(jnp.int32)
         mask = batch["valid"].astype(jnp.float32)
@@ -169,13 +171,14 @@ def make_eval_step(
     data_axis: str = "data",
     input_scale: float = 1.0,
     flow_fast_warp: bool = False,
+    flow_params: Optional[dict] = None,
 ):
     two_stream = bundle.two_stream
 
     def eval_step(variables, batch):
         inputs = _preprocess(
             batch, None, out_hw, False, 0.0, two_stream, input_scale,
-            flow_fast_warp,
+            flow_fast_warp, flow_params,
         )
         labels = batch["label"].astype(jnp.int32)
         mask = batch["valid"].astype(jnp.float32)

@@ -165,6 +165,33 @@ def test_ensemble_and_report_cli_from_cached_probs(tmp_path, capsys):
         "--num-classes", "3", "--operation", "confusion",
     ])
     assert rc == 0
+    capsys.readouterr()
+
+    # train_val agreement diagrams (reference stickDiagrams train_val
+    # variant, evaluate_ensemble.py:928-996)
+    rc = main([
+        "report", "--work-dir", work, "-mt", "C3D", "-fn", "3",
+        "--num-classes", "3", "--operation", "agreement",
+        "--subset", "train_val",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.strip().endswith("_train_val.pdf")
+    assert os.path.exists(out.strip())
+
+    # global-ensemble difference matrices (reference Global path,
+    # evaluate_ensemble.py:490-614)
+    rc = main([
+        "report", "--work-dir", work, "-mt", "C3D", "-fn", "3",
+        "--num-classes", "3", "--operation", "difference",
+        "--scope", "global",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    paths = [l for l in out.strip().splitlines() if l.endswith(".pdf")]
+    # 3 folds x 2 members
+    assert len(paths) == 6 and all(os.path.exists(p) for p in paths)
+    assert all("difference_global_" in p for p in paths)
 
 
 def test_member_cli_commands_parse():
@@ -227,3 +254,63 @@ def test_commands_runner_threads_pretrained_paths(tmp_path):
         cmds[0].split()[3:]  # strip "python -m <module>"
     )
     assert args.rgb_h5 == "/w/rgb.h5" and args.flow_h5 == "/w/flow.h5"
+
+
+@pytest.mark.slow
+def test_probs_long_video_cli(tmp_path, capsys):
+    """VERDICT r2 item 6: classify T>>window synthetic videos end-to-end
+    from the CLI — `probs --long-video` window-scans each long clip with
+    on-device score averaging, and `ensemble` consumes the cache."""
+    import jax
+
+    from crowded_scenes_ensemble_classification_tpu.core.config import (
+        ExperimentConfig,
+    )
+    from crowded_scenes_ensemble_classification_tpu.models import build_model
+    from crowded_scenes_ensemble_classification_tpu.orchestration import WorkLayout
+    from crowded_scenes_ensemble_classification_tpu.train.checkpoints import (
+        save_best,
+    )
+
+    work = str(tmp_path / "work")
+    cfg = ExperimentConfig(model_type="C3D", folds_number=3, num_classes=3,
+                           batch_size=2)
+    layout = WorkLayout(work)
+
+    # long synthetic clips: T = 40 frames >> the 16-frame C3D window
+    rng = np.random.default_rng(0)
+    clip_dir = tmp_path / "clips"
+    clip_dir.mkdir()
+    rows = []
+    for i in range(4):
+        clip = rng.integers(0, 255, (40, 64, 64, 3)).astype(np.uint8)
+        p = str(clip_dir / f"clip{i}.npy")
+        np.save(p, clip)
+        rows.append({"rgbclips_path": p, "x_axis_flowclips_path": "",
+                     "y_axis_flowclips_path": "", "class": i % 3})
+    csv_path = layout.split_csv(0, 1, "test")
+    os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+
+    # random-init member checkpoints (mechanics test, not accuracy)
+    bundle = build_model("C3D", 3)
+    for v in (1, 2):
+        save_best(layout.checkpoint_dir(cfg, 0, v),
+                  bundle.init(jax.random.key(v)))
+
+    rc = main([
+        "probs", "--work-dir", work, "-mt", "C3D", "-fn", "3",
+        "--num-classes", "3", "-bs", "2", "--test-index", "0",
+        "--long-video", "--window-stride", "8", "--long-frames", "40",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip()
+    assert out.endswith(".npz") and os.path.exists(out)
+
+    from crowded_scenes_ensemble_classification_tpu.ensemble.probability_store import (
+        load_probabilities,
+    )
+
+    d = load_probabilities(out)
+    assert d["probs"].shape == (2, 4, 3)  # (members, long clips, classes)
+    np.testing.assert_allclose(d["probs"].sum(-1), 1.0, atol=1e-4)

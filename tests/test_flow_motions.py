@@ -332,3 +332,48 @@ def test_warp_image_mxu_clamps_like_separable(rng):
     a = np.asarray(warp_image(img, jnp.clip(flow, -16, 16)))
     b = np.asarray(warp_image_mxu(img, flow, max_disp=16))
     np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+@pytest.mark.parametrize("motion", list(motion_matrices()))
+def test_farneback_turbo_epe_per_motion(motion, rng):
+    """TURBO_PARAMS (residual refinement at fine levels: 2 iterations,
+    ±4 px residual bound) must hold the SAME EPE ceilings as the full
+    reference schedule and stay close to it."""
+    from crowded_scenes_ensemble_classification_tpu.flow.farneback import (
+        TURBO_PARAMS,
+    )
+
+    M = motion_matrices()[motion]
+    I0, I1 = make_pair(rng, M)
+    gt = gt_flow(M)
+    full = np.asarray(
+        farneback_flow_pair(jnp.asarray(I0), jnp.asarray(I1), fast_warp=True)
+    )
+    turbo = np.asarray(
+        farneback_flow_pair(jnp.asarray(I0), jnp.asarray(I1), **TURBO_PARAMS)
+    )
+    e_turbo, e_full = epe(turbo, gt), epe(full, gt)
+    assert e_turbo < FB_LIMITS[motion], (motion, e_turbo)
+    assert e_turbo <= e_full + 0.05, (motion, e_turbo, e_full)
+
+
+@pytest.mark.parametrize("motion", list(motion_matrices()))
+def test_tvl1_turbo_epe_per_motion(motion, rng):
+    """TVL1_TURBO_PARAMS (adaptive dual-loop schedule, VERDICT r2 item 9)
+    must hold the SAME per-motion EPE ceilings as the full schedule."""
+    import jax.numpy as _jnp
+
+    from crowded_scenes_ensemble_classification_tpu.flow.tvl1 import (
+        TVL1_TURBO_PARAMS,
+    )
+
+    M = motion_matrices()[motion]
+    I0, I1 = make_pair(rng, M)
+    gt = gt_flow(M)
+    turbo = np.asarray(
+        tvl1_flow_pair(
+            jnp.asarray(I0), jnp.asarray(I1), compute_dtype=_jnp.bfloat16,
+            **TVL1_TURBO_PARAMS,
+        )
+    )
+    assert epe(turbo, gt) < TVL1_LIMITS[motion], (motion, epe(turbo, gt))

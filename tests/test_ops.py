@@ -363,3 +363,81 @@ def test_sequential_random_order_applies_all(rng):
         # all permutation results of {+1, *2, +10} from 0:
         assert out in {12.0, 22.0, 11.0, 21.0, 12.0, 2.0 + 10.0}
     assert len(seen) >= 2  # the order actually varies
+
+
+# ------------------------------------------------- window transfers
+
+
+def test_windowed_augment_matches_full_path_exactly(rng):
+    """Host-sliced window + device windowed augment must be FLOAT-IDENTICAL
+    to the full-staging augment for cropped clips, and reference-faithful
+    (decode-time u8 resize) for uncropped ones."""
+    import jax
+    import jax.numpy as jnp
+
+    from crowded_scenes_ensemble_classification_tpu.ops.augment import (
+        augment_crop_decisions,
+        crowd11_augment_batch,
+        crowd11_augment_windowed_batch,
+        decode_time_eval_resize_u8,
+        pack_windows_host,
+    )
+
+    B, T, S = 8, 3, 64
+    out_hw = (56, 56)          # staging 64, margin 16 -> crop window 48
+    margin = 16
+    staging = rng.integers(0, 255, (B, T, S, S, 3)).astype(np.uint8)
+    key = jax.random.key(7)
+
+    do_crop, y0, x0 = augment_crop_decisions(
+        key, B, (S, S), p=0.75, crop_margin=margin
+    )
+    assert do_crop.any() and (~do_crop).any(), "seed must exercise both paths"
+
+    eval_u8 = np.stack([decode_time_eval_resize_u8(c, out_hw) for c in staging])
+    buf = pack_windows_host(staging, eval_u8, do_crop, y0, x0, out_hw, margin)
+
+    got = crowd11_augment_windowed_batch(
+        jnp.asarray(buf).astype(jnp.float32), key, out_hw, (S, S), p=0.75,
+        crop_margin=margin,
+    )
+    full = crowd11_augment_batch(
+        jnp.asarray(staging).astype(jnp.float32), key, out_hw, p=0.75,
+        crop_margin=margin,
+    )
+
+    got_np, full_np = np.asarray(got), np.asarray(full)
+    for i in range(B):
+        if do_crop[i]:
+            # same pixel selection; tap weights may differ by 1 ulp of the
+            # (y0 + coords) addition the full path performs -> <=2e-3 on
+            # the 0-255 scale (4e-6 relative; far below bf16 model eps)
+            np.testing.assert_allclose(
+                got_np[i], full_np[i], atol=2e-3,
+                err_msg=f"cropped clip {i} must match to tap-weight ulp",
+            )
+        else:
+            # uncropped: windowed path uses the u8-quantized decode-time
+            # resize (reference cv2-on-uint8 semantics, train.py:283-289)
+            # -> within u8 rounding of the device f32 resize; salt/pepper
+            # pixels are forced to 0/255 identically in both.
+            diff = np.abs(got_np[i] - full_np[i])
+            assert diff.max() <= 1.0, diff.max()
+
+
+def test_windowed_augment_needs_margin_consistency(rng):
+    """augment_crop_decisions and the windowed batch must agree on gates
+    for any key (threefry is backend-independent)."""
+    import jax
+
+    from crowded_scenes_ensemble_classification_tpu.ops.augment import (
+        augment_crop_decisions,
+    )
+
+    key = jax.random.key(123)
+    a = augment_crop_decisions(key, 16, (64, 64), p=0.75, crop_margin=16)
+    b = augment_crop_decisions(key, 16, (64, 64), p=0.75, crop_margin=16)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_array_equal(a[2], b[2])
+    assert a[1].max() <= 16 and a[2].max() <= 16
