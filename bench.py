@@ -18,10 +18,12 @@ their decode-time u8 resize (the reference's own cv2-resize-on-uint8
 preprocessing, train.py:283-289).  device_put runs inside the feeder
 thread with a bounded queue, so transfers overlap member compute.
 
-Bench data is REALISTIC video statistics (smooth textured scenes with
-global motion and ±3 DN sensor noise), not uniform random pixels —
-uniform noise has 8 bits/px entropy, which no real video has, and it
-pessimizes any transport compression on the host→device link.
+Bench data has REAL decoded-video statistics: synthetic moving scenes
+(textured background + pan + sensor noise) are encoded to mp4 and decoded
+back, so the cache holds codec-quantized frames — exactly what a
+production decode-once store holds.  Uniform-random pixels (8 bits/px of
+entropy, unlike any decodable video) would pessimize transport
+compression on the host→device link.
 
 The north-star target is ≥5000 clips/min end-to-end on a v5e-8, i.e.
 ≈10.42 clips/sec/chip; vs_baseline is measured against that per-chip rate.
@@ -70,10 +72,9 @@ TWOSTREAM_BATCH = 8
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
-def _realistic_clip(rng: np.random.Generator, frames: int, size: int) -> np.ndarray:
-    """Synthetic clip with real-video statistics: smooth textured scene,
-    global pan, ±3 DN sensor noise.  (Uniform-random pixels would be 8
-    bits/px of entropy — no real video looks like that.)"""
+def _scene_frames(rng: np.random.Generator, frames: int, size: int) -> np.ndarray:
+    """Synthetic moving scene: smooth textured background, global pan,
+    ±3 DN sensor noise — raw camera-ish statistics before encoding."""
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
     f1, f2 = rng.uniform(8, 30, 2)
     ph1, ph2 = rng.uniform(0, 6.28, 2)
@@ -93,6 +94,33 @@ def _realistic_clip(rng: np.random.Generator, frames: int, size: int) -> np.ndar
     return out
 
 
+def _realistic_clip(rng: np.random.Generator, frames: int, size: int) -> np.ndarray:
+    """A clip with REAL decoded-video statistics: the synthetic scene is
+    encoded to mp4 (the reference's own mp4v writer convention,
+    augment_dataset.py:34-50) and decoded back, so the cache holds exactly
+    what a production decode-once store holds — quantized, codec-smoothed
+    frames.  (Uniform-random pixels are 8 bits/px of entropy; no decoded
+    video looks like that.)  Falls back to the raw scene if cv2 is absent."""
+    raw = _scene_frames(rng, frames, size)
+    try:
+        import tempfile
+
+        from crowded_scenes_ensemble_classification_tpu.data.video_io import (
+            decode_clip,
+            write_video,
+        )
+
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "clip.mp4")
+            write_video(path, raw)
+            decoded = decode_clip(path, frames, (size, size))
+        if decoded.shape == raw.shape:
+            return decoded
+    except Exception:
+        pass
+    return raw
+
+
 def _build_caches(n_clips: int):
     """Decode-once stores: 256² staging frames AND their decode-time u8
     eval resize (what the reference's own host preprocessing produces,
@@ -105,8 +133,8 @@ def _build_caches(n_clips: int):
         decode_time_eval_resize_u8,
     )
 
-    spath = os.path.join(CACHE_DIR, f"bench3_{n_clips}x{FRAMES}x{STAGING}.ccache")
-    epath = os.path.join(CACHE_DIR, f"bench3_{n_clips}x{FRAMES}x{SIZE}_eval.ccache")
+    spath = os.path.join(CACHE_DIR, f"bench4_{n_clips}x{FRAMES}x{STAGING}.ccache")
+    epath = os.path.join(CACHE_DIR, f"bench4_{n_clips}x{FRAMES}x{SIZE}_eval.ccache")
     if os.path.exists(spath) and os.path.exists(epath):
         try:
             rs, re = ClipCacheReader(spath), ClipCacheReader(epath)
@@ -271,26 +299,38 @@ def main():
         pack_windows_host,
     )
 
+    from crowded_scenes_ensemble_classification_tpu.models.common import (
+        s2d_stem_stage,
+    )
+
     bundle = build_model("I3D", num_classes=11, dtype=jnp.bfloat16)
     keys = jax.random.split(jax.random.key(0), NUM_MEMBERS)
     dummy = jnp.zeros((1, FRAMES, SIZE, SIZE, 3), jnp.bfloat16)
     stacked = stack_variables(
         [bundle.module.init(k, dummy, train=False) for k in keys]
     )
+    # The stem's s2d staging is computed ONCE per batch and shared by all
+    # members (models.common.s2d_stem_stage: 4-member stem 92.6 ms vs
+    # 111.2 canonical at B=48 on v5e) — parameter trees are unchanged.
+    prestaged = bundle.module.clone(stem_prestaged=True)
 
     @jax.jit
-    def pipeline(stacked_vars, window_u8, key, carry):
+    def pipeline(stacked_vars, window_u8, key, step, carry):
+        # fold the step INSIDE the jit region: an eager fold_in would be a
+        # per-step accelerator round trip through the relay
+        step_key = jax.random.fold_in(key, step)
         x = crowd11_augment_windowed_batch(
             window_u8.astype(jnp.float32),
-            key,
+            step_key,
             (SIZE, SIZE),
             (STAGING, STAGING),
             p=AUGMENT_P,
         )
         x = x.astype(jnp.bfloat16)  # cast once, shared by all members
+        xs = s2d_stem_stage(x)  # stem staging once, shared by all members
 
         def member(v):
-            logits = bundle.module.apply(v, x, train=False)
+            logits = prestaged.apply(v, xs, train=False)
             return jax.nn.softmax(logits, axis=-1)
 
         probs = jax.lax.map(member, stacked_vars)  # (M, B, C), sequential
@@ -305,20 +345,34 @@ def main():
     key = jax.random.key(1)
 
     def read_and_pack(step: int, batch_index: int) -> np.ndarray:
-        """Cache read + key-derived window packing — pure host indexing."""
+        """Cache read + key-derived window packing — pure host indexing.
+        Decisions are computed ON CPU (fold_step matches the device-side
+        fold inside `pipeline`), and each clip is read from only the cache
+        its decision needs: cropped clips from the staging store, uncropped
+        from the decode-time eval store."""
         idx = np.arange(batch_index * BATCH, (batch_index + 1) * BATCH)
-        staging, _ = staging_reader.read_batch(idx)
-        eval_u8, _ = eval_reader.read_batch(idx)
-        step_key = jax.random.fold_in(key, step)
         do_crop, y0, x0 = augment_crop_decisions(
-            step_key, BATCH, (STAGING, STAGING), p=AUGMENT_P
+            key, BATCH, (STAGING, STAGING), p=AUGMENT_P, fold_step=step
         )
-        return pack_windows_host(staging, eval_u8, do_crop, y0, x0, (SIZE, SIZE))
+        ch = STAGING - 60
+        buf = np.zeros((BATCH, FRAMES, SIZE, SIZE, 3), np.uint8)
+        crop_pos = np.nonzero(do_crop)[0]
+        full_pos = np.nonzero(~do_crop)[0]
+        if len(crop_pos):
+            staging, _ = staging_reader.read_batch(idx[crop_pos])
+            for j, i in enumerate(crop_pos):
+                buf[i, :, :ch, :ch] = staging[
+                    j, :, y0[i] : y0[i] + ch, x0[i] : x0[i] + ch
+                ]
+        if len(full_pos):
+            eval_u8, _ = eval_reader.read_batch(idx[full_pos])
+            buf[full_pos] = eval_u8
+        return buf
 
     # Warmup / compile on the first packed batch.
     first = read_and_pack(0, 0)
     staged = jax.device_put(first)
-    float(pipeline(stacked, staged, jax.random.fold_in(key, 0), jnp.int32(0)))
+    float(pipeline(stacked, staged, key, jnp.uint32(0), jnp.int32(0)))
 
     # ---- host pipeline rate (threaded C++ pread + pack, steady-state) ---
     for b in range(CACHE_BATCHES):
@@ -341,7 +395,7 @@ def main():
     carry = jnp.int32(0)
     t0 = time.perf_counter()
     for i in range(iters):
-        carry = pipeline(stacked, staged, jax.random.fold_in(key, i), carry)
+        carry = pipeline(stacked, staged, key, jnp.uint32(i), carry)
     float(carry)
     device_cps = BATCH * iters / (time.perf_counter() - t0)
 
@@ -369,7 +423,7 @@ def main():
         if item is None:
             break
         step, staged_b = item
-        carry = pipeline(stacked, staged_b, jax.random.fold_in(key, step), carry)
+        carry = pipeline(stacked, staged_b, key, jnp.uint32(step), carry)
         n_steps += 1
     float(carry)
     e2e_cps = BATCH * n_steps / (time.perf_counter() - t0)

@@ -45,12 +45,23 @@ def make_member_forward(
     data_axis: str = "data",
     flow_fast_warp: bool = False,
     flow_params: Optional[dict] = None,
+    share_stem_staging: bool = False,
 ):
     """Returns fn(stacked_vars, batch) → (M, B, C) softmax probabilities.
 
     flow_params forwards extra kwargs to farneback_flow_pair — e.g.
-    `flow.farneback.TURBO_PARAMS` for the EPE-gated adaptive schedule."""
+    `flow.farneback.TURBO_PARAMS` for the EPE-gated adaptive schedule.
+
+    share_stem_staging=True (I3D only): the stem's space-to-depth staging
+    (models.common.s2d_stem_stage) is computed ONCE per batch and shared
+    by every member — 1.2× the 4-member stem on v5e (the per-member
+    weight rearrangement is free; parameter trees are unchanged)."""
     two_stream = bundle.two_stream
+    prestaged_module = None
+    if share_stem_staging:
+        if bundle.model_type != "I3D" or two_stream:
+            raise ValueError("share_stem_staging supports single-stream I3D")
+        prestaged_module = bundle.module.clone(stem_prestaged=True)
 
     def forward(stacked_vars, batch):
         inputs = {"rgb": identity_resize_batch(batch["rgb"].astype(jnp.float32), out_hw)}
@@ -73,9 +84,20 @@ def make_member_forward(
                 )(gray, gray_next)
                 inputs["flow"] = identity_resize_batch(flows, out_hw)
 
-        def one_member(variables):
-            logits = bundle.apply(variables, inputs, train=False)
-            return jax.nn.softmax(logits, axis=-1)
+        if prestaged_module is not None:
+            from ..models.common import s2d_stem_stage
+
+            xs = s2d_stem_stage(inputs["rgb"])
+
+            def one_member(variables):
+                logits = prestaged_module.apply(variables, xs, train=False)
+                return jax.nn.softmax(logits, axis=-1)
+
+        else:
+
+            def one_member(variables):
+                logits = bundle.apply(variables, inputs, train=False)
+                return jax.nn.softmax(logits, axis=-1)
 
         if mesh is None:
             # single-chip: sequential members quarter peak activation

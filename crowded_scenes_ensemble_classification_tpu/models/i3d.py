@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .common import (
+    PrestagedS2DStemConvBN,
     ConvBN,
     PallasStemConvBN,
     S2DStemConvBN,
@@ -115,6 +116,11 @@ class I3DTrunk(nn.Module):
     # currently resolves to the canonical XLA conv — the v8 kernel variants
     # measure SLOWER than XLA so far (see NEXT.md stem campaign notes).
     stem_impl: str = "auto"
+    # stem_prestaged=True: the input is ALREADY the s2d_stem_stage layout
+    # (N, T, H/2+3, W/2+3, 4C) — computed once per batch by the caller and
+    # shared across ensemble members (1.2× the 4-member stem on v5e; see
+    # models.common.s2d_stem_stage).
+    stem_prestaged: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -126,7 +132,11 @@ class I3DTrunk(nn.Module):
         )
         x = x.astype(self.dtype)
         use_pallas_stem = self.stem_impl == "pallas" and not train
-        if use_pallas_stem:
+        if self.stem_prestaged:
+            x = PrestagedS2DStemConvBN(
+                64, dtype=self.dtype, name="Conv3d_1a_7x7"
+            )(x, train)
+        elif use_pallas_stem:
             x = PallasStemConvBN(64, dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
         elif self.s2d_stem:
             x = S2DStemConvBN(64, dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
@@ -166,6 +176,7 @@ class I3D(nn.Module):
     s2d_stem: bool = False
     pool_impl: str = "auto"
     stem_impl: str = "auto"
+    stem_prestaged: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -175,6 +186,7 @@ class I3D(nn.Module):
             s2d_stem=self.s2d_stem,
             pool_impl=self.pool_impl,
             stem_impl=self.stem_impl,
+            stem_prestaged=self.stem_prestaged,
             name="trunk",
         )(x, train)
         x = i3d_feature_head(x)

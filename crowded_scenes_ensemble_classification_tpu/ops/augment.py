@@ -145,6 +145,7 @@ def augment_crop_decisions(
     staging_hw: Tuple[int, int],
     p: float = 0.75,
     crop_margin: int = CROP_MARGIN,
+    fold_step: int | None = None,
 ):
     """Host-side replica of crowd11_augment's crop decisions.
 
@@ -153,24 +154,37 @@ def augment_crop_decisions(
     windows with these decisions agrees bit-for-bit with a device that
     re-derives them from the same `key`.  Returns numpy
     (do_crop (B,) bool, y0 (B,) int32, x0 (B,) int32).
+
+    Runs ENTIRELY on the host CPU backend — `key` may live on an
+    accelerator; it is copied once and all math (including the optional
+    `fold_step` fold-in, which must match the device-side
+    `jax.random.fold_in(key, step)`) happens on CPU so a feeder thread
+    never enqueues accelerator work (threefry bits are identical across
+    backends).
     """
     h, w = staging_hw
     ch, cw = max(h - crop_margin, 1), max(w - crop_margin, 1)
 
-    def one(k):
-        k_crop_gate, k_crop_pos = jax.random.split(k, 7)[:2]
-        do_crop = jax.random.bernoulli(k_crop_gate, p)
-        ky, kx = jax.random.split(k_crop_pos)
-        y0 = jax.random.randint(ky, (), 0, h - ch + 1)
-        x0 = jax.random.randint(kx, (), 0, w - cw + 1)
-        return do_crop, y0, x0
+    def decisions(k):
+        if fold_step is not None:
+            k = jax.random.fold_in(k, fold_step)
 
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        keys = jax.random.split(jax.device_put(key, cpu), batch_size)
-        do_crop, y0, x0 = jax.jit(jax.vmap(one))(keys)
+        def one(kk):
+            k_crop_gate, k_crop_pos = jax.random.split(kk, 7)[:2]
+            do_crop = jax.random.bernoulli(k_crop_gate, p)
+            ky, kx = jax.random.split(k_crop_pos)
+            y0 = jax.random.randint(ky, (), 0, h - ch + 1)
+            x0 = jax.random.randint(kx, (), 0, w - cw + 1)
+            return do_crop, y0, x0
+
+        return jax.vmap(one)(jax.random.split(k, batch_size))
+
     import numpy as np
 
+    cpu = jax.local_devices(backend="cpu")[0]
+    key_cpu = jax.device_put(jax.device_get(key), cpu)
+    with jax.default_device(cpu):
+        do_crop, y0, x0 = jax.jit(decisions)(key_cpu)
     return np.asarray(do_crop), np.asarray(y0), np.asarray(x0)
 
 

@@ -32,6 +32,15 @@ wfold 76.5 ms; scratch 62 ms @B=16.  Measured root causes:
   per-block cost is staging + streaming bound, not MXU bound.
 The model keeps stem_impl='xla' as the production default (models/i3d.py);
 this kernel stays behind stem_impl='pallas' for future Mosaic versions.
+
+ROUND-3 CLOSE-OUT: the one untried lever — amortizing the s2d staging
+across ensemble members — was measured and SHIPPED via pure XLA, no
+Pallas: `models.common.s2d_stem_stage` computed once per batch +
+`stem_prestaged=True` modules per member run the 4-member stem in
+92.6 ms vs 111.2 ms canonical at B=48 (34.3 TFLOP/s effective, clearing
+the ≥30 TF bar).  With staging amortized, the remaining stem is a plain
+K=2048-ish MXU contraction that XLA already schedules well — the Pallas
+campaign is closed unless Mosaic gains bf16 sublane rotates.
 """
 
 from __future__ import annotations

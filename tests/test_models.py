@@ -124,3 +124,58 @@ def test_s2d_stem_identical_outputs():
     a = m0.apply(v, x, train=False)
     b = m1.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_prestaged_stem_matches_canonical():
+    """Shared-staging stem (VERDICT r2 item 5): s2d_stem_stage computed by
+    the caller + stem_prestaged module == canonical forward, same params."""
+    from crowded_scenes_ensemble_classification_tpu.models import I3D
+    from crowded_scenes_ensemble_classification_tpu.models.common import (
+        s2d_stem_stage,
+    )
+
+    m0 = I3D(num_classes=3)
+    m1 = m0.clone(stem_prestaged=True)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 16, 64, 64, 3)), jnp.float32
+    )
+    v = m0.init(jax.random.key(0), x, train=False)
+    a = m0.apply(v, x, train=False)
+    b = m1.apply(v, s2d_stem_stage(x), train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_member_forward_share_stem_staging():
+    """ensemble.members share_stem_staging: one staging, all members —
+    probabilities match the per-member canonical path."""
+    from crowded_scenes_ensemble_classification_tpu.core.config import ClipSpec
+    from crowded_scenes_ensemble_classification_tpu.ensemble.members import (
+        make_member_forward,
+        stack_variables,
+    )
+    from crowded_scenes_ensemble_classification_tpu.models import I3D
+    from crowded_scenes_ensemble_classification_tpu.models.registry import (
+        ModelBundle,
+    )
+
+    bundle = ModelBundle(
+        model_type="I3D",
+        module=I3D(num_classes=3),
+        clip=ClipSpec(frames=16, height=64, width=64),
+        num_classes=3,
+        two_stream=False,
+    )
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, 255, (3, 16, 64, 64, 3)).astype(np.uint8)
+    batch = {"rgb": x}
+    stacked = stack_variables(
+        [bundle.init(jax.random.key(i)) for i in range(2)]
+    )
+    a = np.asarray(make_member_forward(bundle, (64, 64))(stacked, batch))
+    b = np.asarray(
+        make_member_forward(bundle, (64, 64), share_stem_staging=True)(
+            stacked, batch
+        )
+    )
+    assert a.shape == (2, 3, 3)
+    np.testing.assert_allclose(a, b, atol=2e-5)

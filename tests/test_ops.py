@@ -441,3 +441,15 @@ def test_windowed_augment_needs_margin_consistency(rng):
     np.testing.assert_array_equal(a[1], b[1])
     np.testing.assert_array_equal(a[2], b[2])
     assert a[1].max() <= 16 and a[2].max() <= 16
+
+    # fold_step must equal an explicit fold_in of the key (the device-side
+    # pipeline folds the step inside its jit region)
+    c = augment_crop_decisions(
+        key, 16, (64, 64), p=0.75, crop_margin=16, fold_step=7
+    )
+    d = augment_crop_decisions(
+        jax.random.fold_in(key, 7), 16, (64, 64), p=0.75, crop_margin=16
+    )
+    np.testing.assert_array_equal(c[0], d[0])
+    np.testing.assert_array_equal(c[1], d[1])
+    np.testing.assert_array_equal(c[2], d[2])
