@@ -27,6 +27,7 @@ slightly different texture — documented as a deliberate deviation
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -162,12 +163,30 @@ def augment_crop_decisions(
     never enqueues accelerator work (threefry bits are identical across
     backends).
     """
+    import numpy as np
+
     h, w = staging_hw
+    fn = _decisions_jit(
+        batch_size, h, w, float(p), crop_margin, fold_step is not None
+    )
+    cpu = jax.local_devices(backend="cpu")[0]
+    key_cpu = jax.device_put(jax.device_get(key), cpu)
+    step_cpu = jax.device_put(np.uint32(fold_step or 0), cpu)
+    with jax.default_device(cpu):
+        do_crop, y0, x0 = fn(key_cpu, step_cpu)
+    return np.asarray(do_crop), np.asarray(y0), np.asarray(x0)
+
+
+@functools.lru_cache(maxsize=None)
+def _decisions_jit(batch_size: int, h: int, w: int, p: float,
+                   crop_margin: int, folded: bool):
+    """One cached jit per decision geometry; the fold step is a TRACED
+    argument so per-step calls reuse the same executable."""
     ch, cw = max(h - crop_margin, 1), max(w - crop_margin, 1)
 
-    def decisions(k):
-        if fold_step is not None:
-            k = jax.random.fold_in(k, fold_step)
+    def decisions(k, step):
+        if folded:
+            k = jax.random.fold_in(k, step)
 
         def one(kk):
             k_crop_gate, k_crop_pos = jax.random.split(kk, 7)[:2]
@@ -179,13 +198,7 @@ def augment_crop_decisions(
 
         return jax.vmap(one)(jax.random.split(k, batch_size))
 
-    import numpy as np
-
-    cpu = jax.local_devices(backend="cpu")[0]
-    key_cpu = jax.device_put(jax.device_get(key), cpu)
-    with jax.default_device(cpu):
-        do_crop, y0, x0 = jax.jit(decisions)(key_cpu)
-    return np.asarray(do_crop), np.asarray(y0), np.asarray(x0)
+    return jax.jit(decisions)
 
 
 def crowd11_augment_windowed(
