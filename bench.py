@@ -298,7 +298,6 @@ def main():
     )
     from crowded_scenes_ensemble_classification_tpu.models import build_model
     from crowded_scenes_ensemble_classification_tpu.ops.augment import (
-        augment_crop_decisions,
         crowd11_augment_windowed_batch,
     )
 
@@ -321,54 +320,31 @@ def main():
     staging_reader, eval_reader = _build_caches(n_clips)
     key = jax.random.key(1)
 
-    # ---- RAGGED wire format -------------------------------------------
-    # Each clip ships exactly the bytes its (key-derived) decision needs:
-    # the (H−60)² crop window, or the decode-time 224² eval frames.  All
-    # per-step decisions are known up front (pure key math), so the wire
-    # buffer is statically sized to the MAX total over the bench's steps —
-    # one executable, no padding waste beyond that max, and no reliance on
-    # transport compression.  The device re-derives the same gates from
-    # the same fold and unpacks with static-size dynamic slices.
-    CH = STAGING - 60
-    CROP_BYTES = FRAMES * CH * CH * 3
-    FULL_BYTES = FRAMES * SIZE * SIZE * 3
+    # ---- RAGGED wire format (data.wire_format) -------------------------
+    # Each clip ships exactly the bytes its (key-derived) decision needs;
+    # the wire buffer is statically sized to the exact max over the
+    # bench's key-determined steps — one executable, no padding waste, no
+    # reliance on transport compression.
+    from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
+        make_wire_unpack,
+        pack_ragged_windows,
+        plan_wire_steps,
+    )
+
     total_steps = EPOCHS * CACHE_BATCHES
-    step_plan = {}
-    cap = 0
-    for s in range(total_steps):
-        do_crop, y0, x0 = augment_crop_decisions(
-            key, BATCH, (STAGING, STAGING), p=AUGMENT_P, fold_step=s
-        )
-        sizes = np.where(do_crop, CROP_BYTES, FULL_BYTES).astype(np.int64)
-        offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
-        step_plan[s] = (do_crop, y0, x0, offsets)
-        cap = max(cap, int(sizes.sum()))
-    CAP = cap
+    plan = plan_wire_steps(
+        key, total_steps, BATCH, FRAMES, (STAGING, STAGING), (SIZE, SIZE),
+        p=AUGMENT_P,
+    )
+    CAP = plan.cap
+    unpack_fn = make_wire_unpack(plan)
 
     @jax.jit
     def pipeline(stacked_vars, wire_u8, offsets, key, step, carry):
         # fold the step INSIDE the jit region: an eager fold_in would be a
         # per-step accelerator round trip through the relay
         step_key = jax.random.fold_in(key, step)
-        clip_keys = jax.random.split(step_key, BATCH)
-
-        def unpack(args):
-            off, k = args
-            gate = jax.random.bernoulli(
-                jax.random.split(k, 7)[0], AUGMENT_P
-            )  # same k_crop_gate derivation as crowd11_augment
-            crop_flat = jax.lax.dynamic_slice(wire_u8, (off,), (CROP_BYTES,))
-            crop_img = jnp.zeros((FRAMES, SIZE, SIZE, 3), jnp.uint8)
-            crop_img = jax.lax.dynamic_update_slice(
-                crop_img, crop_flat.reshape(FRAMES, CH, CH, 3), (0, 0, 0, 0)
-            )
-            full_off = jnp.minimum(off, CAP - FULL_BYTES)
-            full_img = jax.lax.dynamic_slice(
-                wire_u8, (full_off,), (FULL_BYTES,)
-            ).reshape(FRAMES, SIZE, SIZE, 3)
-            return jnp.where(gate, crop_img, full_img)
-
-        buf = jax.lax.map(unpack, (offsets, clip_keys))
+        buf = unpack_fn(wire_u8, offsets, step_key)
         x = crowd11_augment_windowed_batch(
             buf.astype(jnp.float32),
             step_key,
@@ -395,22 +371,20 @@ def main():
         clip is read from only the cache its decision needs: cropped clips
         from the staging store, uncropped from the decode-time eval store."""
         idx = np.arange(batch_index * BATCH, (batch_index + 1) * BATCH)
-        do_crop, y0, x0, offsets = step_plan[step % total_steps]
-        wire = np.zeros(CAP, np.uint8)
+        do_crop, _y0, _x0, _off = plan.steps[step % total_steps]
         crop_pos = np.nonzero(do_crop)[0]
         full_pos = np.nonzero(~do_crop)[0]
-        if len(crop_pos):
-            staging, _ = staging_reader.read_batch(idx[crop_pos])
-            for j, i in enumerate(crop_pos):
-                window = staging[j, :, y0[i] : y0[i] + CH, x0[i] : x0[i] + CH]
-                o = offsets[i]
-                wire[o : o + CROP_BYTES] = window.ravel()
-        if len(full_pos):
-            eval_u8, _ = eval_reader.read_batch(idx[full_pos])
-            for j, i in enumerate(full_pos):
-                o = offsets[i]
-                wire[o : o + FULL_BYTES] = eval_u8[j].ravel()
-        return wire, offsets
+        staging = (
+            staging_reader.read_batch(idx[crop_pos])[0]
+            if len(crop_pos)
+            else np.zeros((0, FRAMES, STAGING, STAGING, 3), np.uint8)
+        )
+        eval_u8 = (
+            eval_reader.read_batch(idx[full_pos])[0]
+            if len(full_pos)
+            else np.zeros((0, FRAMES, SIZE, SIZE, 3), np.uint8)
+        )
+        return pack_ragged_windows(plan, step % total_steps, staging, eval_u8)
 
     # Warmup / compile on the first packed batch.
     first, first_off = read_and_pack(0, 0)

@@ -156,3 +156,51 @@ def test_decode_pad_cycle_rule():
     # longer-than-one-cycle padding
     padded = _pad_cycle(frames[:2], 7)
     assert [int(f[0, 0, 0]) for f in padded] == [0, 1, 0, 1, 0, 1, 0]
+
+
+def test_ragged_wire_roundtrip():
+    """data.wire_format: host pack → device unpack reproduces exactly the
+    padded window buffer pack_windows_host builds (same keys/decisions),
+    at ~65% of the dense bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
+        make_wire_unpack,
+        pack_ragged_windows,
+        plan_wire_steps,
+    )
+    from crowded_scenes_ensemble_classification_tpu.ops.augment import (
+        decode_time_eval_resize_u8,
+        pack_windows_host,
+    )
+
+    B, T, STG, OUT = 6, 3, 80, 56
+    rng = np.random.default_rng(3)
+    staging_all = rng.integers(0, 255, (B, T, STG, STG, 3)).astype(np.uint8)
+    eval_all = np.stack(
+        [decode_time_eval_resize_u8(c, (OUT, OUT)) for c in staging_all]
+    )
+    key = jax.random.key(9)
+    # margin 30: crop window 50 < out 56 so ragged saves bytes, and both
+    # gate outcomes occur at tiny sizes
+    plan = plan_wire_steps(
+        key, 2, B, T, (STG, STG), (OUT, OUT), p=0.75, crop_margin=30
+    )
+    assert plan.cap < B * plan.full_bytes  # ragged actually saves bytes
+
+    for step in range(2):
+        do_crop, y0, x0, offsets = plan.steps[step]
+        wire, off = pack_ragged_windows(
+            plan, step, staging_all[do_crop], eval_all[~do_crop]
+        )
+        step_key = jax.random.fold_in(key, step)
+        got = np.asarray(
+            jax.jit(make_wire_unpack(plan))(
+                jnp.asarray(wire), jnp.asarray(off), step_key
+            )
+        )
+        want = pack_windows_host(
+            staging_all, eval_all, do_crop, y0, x0, (OUT, OUT), crop_margin=30
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"step {step}")
