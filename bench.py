@@ -71,7 +71,11 @@ AUGMENT_P = 0.75
 # flow-stream breakout (north-star includes flow): modest sizes so the
 # extra compiles can't threaten the primary headline's bench window
 FLOW_PAIRS = 76  # = 4 clips x 19 pairs, vmapped as the train path does
-TWOSTREAM_BATCH = 8
+# B=8 measured 9.68 clips/s (batch-bound); B=24 with the flow computed in
+# 4-clip chunks (80 concurrent pairs — bounds the pyramid intermediates;
+# the unchunked 480-pair vmap OOMs at 24.7 GB) measured 11.46 on v5e.
+TWOSTREAM_BATCH = 24
+TWOSTREAM_FLOW_CHUNK = 4
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
@@ -236,16 +240,32 @@ def _flow_breakouts(results: dict):
             ).astype(np.float32)
         )
 
+        ch = TWOSTREAM_FLOW_CHUNK if b % TWOSTREAM_FLOW_CHUNK == 0 else 1
+
         @jax.jit
         def ts_pipeline(stacked_vars, rgb_f32, carry):
             gray = 0.114 * rgb_f32[..., 0] + 0.587 * rgb_f32[..., 1] + 0.299 * rgb_f32[..., 2]
             # T flow fields per clip — the engine's (gray, gray_next)
             # pair convention (train/engine._preprocess); the wrap pair
-            # keeps the billing at exactly T fields/clip.
+            # keeps the billing at exactly T fields/clip.  Flow runs in
+            # `ch`-clip chunks (ch·T concurrent pairs): the full B·T vmap
+            # materializes pyramid intermediates for every pair at once
+            # and OOMs beyond ~10 clips (24.7 GB at B=24).
             gray_next = jnp.roll(gray, -1, axis=1)
-            flows = jax.vmap(
-                jax.vmap(lambda a, bb: farneback_flow_pair(a, bb, **TURBO_PARAMS))
-            )(gray, gray_next)
+            gc = gray.reshape(b // ch, ch, t, SIZE, SIZE)
+            gn = gray_next.reshape(b // ch, ch, t, SIZE, SIZE)
+
+            def flow_chunk(args):
+                a, bb = args
+                return jax.vmap(
+                    jax.vmap(
+                        lambda p, c: farneback_flow_pair(p, c, **TURBO_PARAMS)
+                    )
+                )(a, bb)
+
+            flows = jax.lax.map(flow_chunk, (gc, gn)).reshape(
+                b, t, SIZE, SIZE, 2
+            )
             x = {"rgb": rgb_f32.astype(jnp.bfloat16), "flow": flows.astype(jnp.bfloat16)}
 
             def member(v):
@@ -468,8 +488,28 @@ def main():
             h2d_gbps * 1e9 / (first.nbytes / BATCH), 2
         ),
     }
-    _flow_breakouts(results)
+    # Breakouts under a watchdog: a stuck remote compile must never cost
+    # the driver the primary JSON line.  If the budget expires, print
+    # without the flow fields and hard-exit (the abandoned compile thread
+    # would otherwise keep the process alive).
+    import sys
+
+    extra: dict = {}
+    done = threading.Event()
+
+    def _breakouts():
+        _flow_breakouts(extra)
+        done.set()
+
+    th = threading.Thread(target=_breakouts, daemon=True)
+    th.start()
+    th.join(timeout=float(os.environ.get("BENCH_BREAKOUT_TIMEOUT_S", "2700")))
+    if done.is_set():
+        results.update(extra)
     print(json.dumps(results))
+    if not done.is_set():
+        sys.stdout.flush()
+        os._exit(0)
 
 
 if __name__ == "__main__":
