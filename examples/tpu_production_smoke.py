@@ -4,6 +4,8 @@ probs -> ensemble evaluate) on the real chip with synthetic videos.
 Round-2 run (v5e, 2026-08-17): PASSED in 1903 s — 3 folds, 6 C3D members
 trained on-chip at the reference 16x112x112 geometry, probability cache +
 SUM-fusion evaluation producing the legacy-named results CSV.
+Round-3 run (v5e, 2026-08-17): PASSED in 2619 s — same path plus the
+long-video window-scan probability cache (probs --long-video) on-chip.
 Run:  python examples/tpu_production_smoke.py
 """
 import sys, os, tempfile, time
@@ -43,3 +45,16 @@ rc = cli(["ensemble", "-mt", "C3D", "-fn", "3", "--work-dir", work,
           "--operation", "evaluate", "-wt", "SUM"])
 assert rc == 0
 print(f"[{time.time()-t0:.0f}s] ensemble evaluate ok — TPU production smoke PASSED")
+
+# ---- round-3: long-video window-scan probabilities on-chip -----------
+# Reuse fold-0's trained members; clear its cache so the CLI recomputes
+# through the streaming window-scan path (probs --long-video).
+import glob
+
+for f in glob.glob(os.path.join(work, "Probabilities", "*test0*.npz")):
+    os.remove(f)
+rc = cli(["probs", "-mt", "C3D", "-fn", "3", "--work-dir", work,
+          "--test-index", "0", "--long-video", "--window-stride", "8",
+          "--long-frames", "40"])
+assert rc == 0
+print(f"[{time.time()-t0:.0f}s] long-video probs ok — round-3 smoke PASSED")
