@@ -191,10 +191,16 @@ def train_member(
     staging_hw=DEFAULT_STAGING_HW,
     rgb_h5: Optional[str] = None,
     flow_h5: Optional[str] = None,
+    train_step=None,
+    eval_step=None,
 ) -> Dict[str, Any]:
     """One ensemble member end-to-end: fit → test eval → history artifact
     (reference train.py main, :1978-2051).  rgb_h5/flow_h5 supply pretrained
-    Keras checkpoints for _PRETRAINED runs (models.pretrained)."""
+    Keras checkpoints for _PRETRAINED runs (models.pretrained).
+
+    train_step/eval_step: prebuilt jitted steps shared across members
+    (see launch_ensemble_training — one compile instead of one per
+    member); must match `optimizer`."""
     if bundle is None and config.training_condition == "_PRETRAINED" and (
         initial_variables is None
     ):
@@ -231,12 +237,15 @@ def train_member(
         verbose=verbose,
         optimizer=optimizer,
         metrics_logger=metrics_logger,
+        train_step=train_step,
+        eval_step=eval_step,
     )
 
     best_vars = restore_best(ckpt_dir, result["state"].variables())
     out_hw = (bundle.clip.height, bundle.clip.width)
     test = evaluate_model(
-        bundle, best_vars, pipes["test"], out_hw, mesh, input_scale=input_scale
+        bundle, best_vars, pipes["test"], out_hw, mesh,
+        input_scale=input_scale, eval_step=eval_step,
     )
     store_history(result["history"], layout.history_path(config, t, v))
     metrics_logger.log(
@@ -307,6 +316,61 @@ def launch_ensemble_training(
             rgb_h5=member_kwargs.get("rgb_h5"),
             flow_h5=member_kwargs.get("flow_h5"),
         )
+
+    # Build the jitted train/eval steps ONCE and share them across all
+    # k·(k−1) members — they share one architecture and one set of
+    # shapes, so per-member rebuilds would recompile the full model for
+    # every member (the reference paid this as k·(k−1) separate Slurm
+    # jobs; minutes per compile on the axon relay).
+    if (
+        "train_step" not in member_kwargs
+        and member_kwargs.get("bundle") is None
+        and member_kwargs.get("mesh") is None
+    ):
+        from .train.callbacks import lr_policy_for
+        from .train.engine import make_eval_step, make_train_step
+        from .train.engine import R3D_L2_WEIGHT
+        from .train.state import make_optimizer
+
+        bundle = build_model(config.model_type, config.num_classes)
+        out_hw = (bundle.clip.height, bundle.clip.width)
+        input_scale = member_kwargs.get("input_scale", 1.0)
+        tx = member_kwargs.get("optimizer") or make_optimizer(
+            config.model_type, lr_policy_for(config.model_type).initial_lr
+        )
+        l2w = (
+            R3D_L2_WEIGHT if config.model_type.startswith("R3D") else 0.0
+        )
+        member_kwargs.update(
+            bundle=bundle,
+            optimizer=tx,
+            train_step=make_train_step(
+                bundle,
+                tx,
+                out_hw,
+                augment=(config.augmentation_status == "augmented_onTheFly"),
+                augment_p=0.75,
+                l2_weight=l2w,
+                input_scale=input_scale,
+            ),
+            eval_step=make_eval_step(bundle, out_hw, input_scale=input_scale),
+        )
+        if config.training_condition == "_PRETRAINED" and (
+            member_kwargs.get("initial_variables") is None
+        ):
+            from .models.pretrained import load_pretrained_variables
+
+            import jax
+
+            fresh = bundle.init(jax.random.key(member_kwargs.get("seed", 0)))
+            member_kwargs["initial_variables"] = load_pretrained_variables(
+                config.model_type,
+                fresh,
+                config.num_classes,
+                member_kwargs.get("rgb_h5"),
+                member_kwargs.get("flow_h5"),
+            )
+
     results = {}
     for t, v in split_pairs(config.folds_number):
         results[(t, v)] = train_member(config, layout, t, v, **member_kwargs)

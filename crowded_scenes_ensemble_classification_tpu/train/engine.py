@@ -271,10 +271,19 @@ def fit(
     metrics_logger=None,
     save_full_every: int = 0,
     resume_full: bool = False,
+    train_step=None,
+    eval_step=None,
 ) -> Dict[str, Any]:
     """Epoch loop with the reference's callback semantics.  Returns
     {'history': {...}, 'state': final TrainState, 'best_val_loss': float}.
-    """
+
+    train_step/eval_step: prebuilt jitted steps (make_train_step /
+    make_eval_step) to reuse across fits — ensemble members share one
+    architecture and one set of shapes, so rebuilding the steps per
+    member recompiles the whole model k·(k−1) times for nothing (on the
+    axon relay that is minutes per compile).  A supplied train_step MUST
+    have been built with the same optimizer instance passed as
+    `optimizer` (the step closes over it)."""
     import json
 
     from .checkpoints import (  # lazy
@@ -312,13 +321,16 @@ def fit(
     else:
         cw = jnp.ones((bundle.num_classes,), jnp.float32)
 
-    train_step = make_train_step(
-        bundle, tx, out_hw, augment, augment_p, l2w, mesh, input_scale=input_scale
-    )
+    if train_step is None:
+        train_step = make_train_step(
+            bundle, tx, out_hw, augment, augment_p, l2w, mesh,
+            input_scale=input_scale,
+        )
     # One jitted eval step for the whole fit: rebuilding it per epoch would
     # retrace (and, on TPU backends without a persistent compile cache,
     # recompile) the full forward every epoch of the hottest loop.
-    eval_step = make_eval_step(bundle, out_hw, mesh, input_scale=input_scale)
+    if eval_step is None:
+        eval_step = make_eval_step(bundle, out_hw, mesh, input_scale=input_scale)
     early = EarlyStopping(patience=early_stopping_patience)
     history = {"loss": [], "accuracy": [], "val_loss": [], "val_accuracy": []}
     best_val = math.inf

@@ -168,3 +168,52 @@ def test_train_members_and_ensemble(workspace, tmp_path):
     assert hist.sum() == len(d["labels"])
     pdf2 = render_agreement_pdf([hist], str(tmp_path / "agree.pdf"), n_members=2)
     assert os.path.exists(pdf2)
+
+
+def test_launch_local_shares_jitted_steps(tmp_path, monkeypatch):
+    """launch_ensemble_training (local runner) must build the jitted
+    train/eval steps ONCE and share them across all k*(k-1) members —
+    per-member rebuilds recompile the full model k*(k-1) times (minutes
+    per compile on the axon relay)."""
+    from crowded_scenes_ensemble_classification_tpu import orchestration
+    from crowded_scenes_ensemble_classification_tpu.models import registry
+    from crowded_scenes_ensemble_classification_tpu.train import engine
+
+    df = generate_synthetic_dataset(
+        str(tmp_path / "data"), num_scenes=9, clips_per_scene=3,
+        num_classes=3, num_frames=16, hw=(40, 40), as_videos=False,
+    )
+    config = ExperimentConfig(
+        model_type="C3D", training_condition="_SCRATCH", folds_number=3,
+        num_classes=3, batch_size=6, epochs=1,
+    )
+
+    # tiny C3D stand-in for the full-size factory
+    monkeypatch.setattr(
+        orchestration, "build_model",
+        lambda mt, nc, **kw: tiny_bundle(nc),
+    )
+
+    calls = {"train": 0, "eval": 0}
+    real_train, real_eval = engine.make_train_step, engine.make_eval_step
+
+    def counting_train(*a, **kw):
+        calls["train"] += 1
+        return real_train(*a, **kw)
+
+    def counting_eval(*a, **kw):
+        calls["eval"] += 1
+        return real_eval(*a, **kw)
+
+    monkeypatch.setattr(engine, "make_train_step", counting_train)
+    monkeypatch.setattr(engine, "make_eval_step", counting_eval)
+
+    results = orchestration.launch_ensemble_training(
+        config, df, str(tmp_path / "work"),
+        epochs=1, input_scale=1 / 255.0, staging_hw=(40, 40), num_workers=2,
+        optimizer=optax.inject_hyperparams(optax.adam)(learning_rate=2e-3),
+    )
+    assert len(results) == 6  # 3 x 2 members trained
+    assert all(np.isfinite(r["test_loss"]) for r in results.values())
+    assert calls["train"] == 1, calls
+    assert calls["eval"] == 1, calls
