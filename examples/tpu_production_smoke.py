@@ -5,7 +5,9 @@ Round-2 run (v5e, 2026-08-17): PASSED in 1903 s — 3 folds, 6 C3D members
 trained on-chip at the reference 16x112x112 geometry, probability cache +
 SUM-fusion evaluation producing the legacy-named results CSV.
 Round-3 run (v5e, 2026-08-17): PASSED in 2619 s — same path plus the
-long-video window-scan probability cache (probs --long-video) on-chip.
+long-video window-scan probability cache (probs --long-video) on-chip;
+re-run after launch gained shared jitted member steps: 1228 s (2.1x —
+the per-member step recompiles were most of the train phase).
 Run:  python examples/tpu_production_smoke.py
 """
 import sys, os, tempfile, time
