@@ -377,3 +377,34 @@ def test_tvl1_turbo_epe_per_motion(motion, rng):
         )
     )
     assert epe(turbo, gt) < TVL1_LIMITS[motion], (motion, epe(turbo, gt))
+
+
+def test_farneback_turbo_on_real_decoded_video(tmp_path, rng):
+    """TURBO_PARAMS on frames that went through a REAL mp4 encode→decode
+    round trip: must recover the injected translation like the full
+    schedule does (the production TwoStream pipeline runs turbo)."""
+    from crowded_scenes_ensemble_classification_tpu.data.video_io import (
+        decode_clip,
+        write_video,
+    )
+    from crowded_scenes_ensemble_classification_tpu.flow.farneback import (
+        TURBO_PARAMS,
+    )
+
+    base = textured(rng, H + 24, W + 24)
+    frames = []
+    for t in range(8):
+        M = np.float32([[1, 0, -12 + 1.5 * t], [0, 1, -12 + 0.75 * t]])
+        frames.append(cv2.warpAffine(base, M, (W, H)))
+    rgb = np.stack([np.stack([f, f, f], -1) for f in frames]).astype(np.uint8)
+    path = str(tmp_path / "clip.mp4")
+    write_video(path, rgb)
+    decoded = decode_clip(path, num_frames=8, staging_hw=(H, W))
+    gray = decoded.astype(np.float32).mean(-1)
+
+    ours = np.asarray(
+        farneback_flow_pair(jnp.asarray(gray[3]), jnp.asarray(gray[4]), **TURBO_PARAMS)
+    )
+    inner = ours[MARGIN:-MARGIN, MARGIN:-MARGIN]
+    assert abs(np.median(inner[..., 0]) - 1.5) < 0.5
+    assert abs(np.median(inner[..., 1]) - 0.75) < 0.5
