@@ -128,6 +128,34 @@ def make_member_forward(
     return jax.jit(forward)
 
 
+def get_member_forward(
+    bundle: ModelBundle,
+    out_hw: Tuple[int, int],
+    mesh: Optional[Mesh] = None,
+    **kwargs,
+):
+    """make_member_forward memoized on the bundle: repeated callers
+    (probability caching loops over k test folds with identical shapes)
+    reuse ONE jitted forward instead of recompiling per fold."""
+    cache = bundle.__dict__.setdefault("_member_forward_cache", {})
+    fp = kwargs.get("flow_params")
+    try:
+        key = (
+            tuple(out_hw),
+            mesh,
+            kwargs.get("member_axis", "member"),
+            kwargs.get("data_axis", "data"),
+            kwargs.get("flow_fast_warp", False),
+            tuple(sorted(fp.items())) if fp else None,
+            kwargs.get("share_stem_staging", False),
+        )
+        if key not in cache:
+            cache[key] = make_member_forward(bundle, out_hw, mesh, **kwargs)
+        return cache[key]
+    except TypeError:  # unhashable key parts — fall back to no memoization
+        return make_member_forward(bundle, out_hw, mesh, **kwargs)
+
+
 def member_probabilities(
     bundle: ModelBundle,
     variables_list: Sequence[Dict],
@@ -143,9 +171,9 @@ def member_probabilities(
         len(variables_list) % mesh.shape["member"] == 0
     ):
         stacked = shard_stacked(stacked, mesh)
-        forward = make_member_forward(bundle, out_hw, mesh)
+        forward = get_member_forward(bundle, out_hw, mesh)
     else:
-        forward = make_member_forward(bundle, out_hw)
+        forward = get_member_forward(bundle, out_hw)
 
     from ..data.pipeline import prefetch_batches
 

@@ -323,3 +323,35 @@ def test_reference_csv_provider_interop(tmp_path):
 
     res = evaluate_ensembles(provider, 1, "SUM", name="interop")
     assert 0.0 <= res.folds[0].accuracy <= 1.0
+
+
+def test_member_forward_memoized_across_folds():
+    """cache_probabilities loops over k test folds with identical shapes —
+    the member forward must be built (and on TPU, compiled) once."""
+    import jax
+
+    from crowded_scenes_ensemble_classification_tpu.core.config import ClipSpec
+    from crowded_scenes_ensemble_classification_tpu.ensemble import members as m
+    from crowded_scenes_ensemble_classification_tpu.models import C3D
+    from crowded_scenes_ensemble_classification_tpu.models.registry import (
+        ModelBundle,
+    )
+
+    bundle = ModelBundle(
+        model_type="C3D",
+        module=C3D(num_classes=3, width=0.125),
+        clip=ClipSpec(frames=16, height=32, width=32),
+        num_classes=3,
+        two_stream=False,
+    )
+    f1 = m.get_member_forward(bundle, (32, 32))
+    f2 = m.get_member_forward(bundle, (32, 32))
+    assert f1 is f2
+    assert m.get_member_forward(bundle, (32, 32), flow_fast_warp=True) is not f1
+
+    # and it actually runs
+    stacked = m.stack_variables([bundle.init(jax.random.key(i)) for i in range(2)])
+    x = np.random.default_rng(0).integers(0, 255, (2, 16, 32, 32, 3)).astype(np.uint8)
+    probs = np.asarray(f1(stacked, {"rgb": x}))
+    assert probs.shape == (2, 2, 3)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
