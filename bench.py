@@ -225,8 +225,12 @@ def _flow_breakouts(results: dict):
             stack_variables,
         )
         from crowded_scenes_ensemble_classification_tpu.models import build_model
+        from crowded_scenes_ensemble_classification_tpu.models.common import (
+            s2d_stem_stage,
+        )
 
         bundle = build_model("TWOSTREAM_I3D", num_classes=11, dtype=jnp.bfloat16)
+        ts_prestaged = bundle.module.clone(stem_prestaged=True)
         keys = jax.random.split(jax.random.key(5), NUM_MEMBERS)
         b, t = TWOSTREAM_BATCH, FRAMES
         rgb_d = jnp.zeros((1, t, SIZE, SIZE, 3), jnp.bfloat16)
@@ -266,10 +270,13 @@ def _flow_breakouts(results: dict):
             flows = jax.lax.map(flow_chunk, (gc, gn)).reshape(
                 b, t, SIZE, SIZE, 2
             )
-            x = {"rgb": rgb_f32.astype(jnp.bfloat16), "flow": flows.astype(jnp.bfloat16)}
+            # both trunks' s2d stem stagings computed once, shared by all
+            # members (models.common.s2d_stem_stage)
+            xs_rgb = s2d_stem_stage(rgb_f32.astype(jnp.bfloat16))
+            xs_flow = s2d_stem_stage(flows.astype(jnp.bfloat16))
 
             def member(v):
-                logits = bundle.apply(v, x, train=False)
+                logits = ts_prestaged.apply(v, xs_rgb, xs_flow, train=False)
                 return jax.nn.softmax(logits, axis=-1)
 
             probs = jax.lax.map(member, stacked_vars)

@@ -52,15 +52,17 @@ def make_member_forward(
     flow_params forwards extra kwargs to farneback_flow_pair — e.g.
     `flow.farneback.TURBO_PARAMS` for the EPE-gated adaptive schedule.
 
-    share_stem_staging=True (I3D only): the stem's space-to-depth staging
-    (models.common.s2d_stem_stage) is computed ONCE per batch and shared
-    by every member — 1.2× the 4-member stem on v5e (the per-member
-    weight rearrangement is free; parameter trees are unchanged)."""
+    share_stem_staging=True (I3D / TWOSTREAM_I3D): the stem's
+    space-to-depth staging (models.common.s2d_stem_stage) is computed ONCE
+    per batch and shared by every member — 1.2× the 4-member stem on v5e
+    (the per-member weight rearrangement is free; parameter trees are
+    unchanged).  For TwoStream both trunks' stagings (rgb AND flow) are
+    shared, amortizing 2·M stem stagings into 2."""
     two_stream = bundle.two_stream
     prestaged_module = None
     if share_stem_staging:
-        if bundle.model_type != "I3D" or two_stream:
-            raise ValueError("share_stem_staging supports single-stream I3D")
+        if bundle.model_type not in ("I3D", "TWOSTREAM_I3D"):
+            raise ValueError("share_stem_staging supports I3D-family models")
         prestaged_module = bundle.module.clone(stem_prestaged=True)
 
     def forward(stacked_vars, batch):
@@ -84,7 +86,19 @@ def make_member_forward(
                 )(gray, gray_next)
                 inputs["flow"] = identity_resize_batch(flows, out_hw)
 
-        if prestaged_module is not None:
+        if prestaged_module is not None and two_stream:
+            from ..models.common import s2d_stem_stage
+
+            xs_rgb = s2d_stem_stage(inputs["rgb"])
+            xs_flow = s2d_stem_stage(inputs["flow"])
+
+            def one_member(variables):
+                logits = prestaged_module.apply(
+                    variables, xs_rgb, xs_flow, train=False
+                )
+                return jax.nn.softmax(logits, axis=-1)
+
+        elif prestaged_module is not None:
             from ..models.common import s2d_stem_stage
 
             xs = s2d_stem_stage(inputs["rgb"])

@@ -15,6 +15,7 @@ and `weights_io` conversion respectively.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import flax.linen as nn
@@ -28,14 +29,22 @@ from .i3d import I3DTrunk, i3d_feature_head
 class TwoStreamI3D(nn.Module):
     num_classes: int = 11
     dtype: jnp.dtype = jnp.float32
+    # stem_prestaged=True: BOTH inputs are already in the s2d_stem_stage
+    # layout (N, T, H/2+3, W/2+3, 4C) — computed once per batch by the
+    # caller and shared across ensemble members, amortizing both trunks'
+    # stem staging over the whole ensemble (models.common.s2d_stem_stage).
+    stem_prestaged: bool = False
 
     @nn.compact
     def __call__(
         self, rgb: jax.Array, flow: jax.Array, train: bool = False
     ) -> jax.Array:
         """rgb: (N, T, H, W, 3); flow: (N, T, H, W, 2)."""
-        x_rgb = I3DTrunk(dtype=self.dtype, name="rgb_trunk")(rgb, train)
-        x_flow = I3DTrunk(dtype=self.dtype, name="flow_trunk")(flow, train)
+        trunk = functools.partial(
+            I3DTrunk, dtype=self.dtype, stem_prestaged=self.stem_prestaged
+        )
+        x_rgb = trunk(name="rgb_trunk")(rgb, train)
+        x_flow = trunk(name="flow_trunk")(flow, train)
         feats = jnp.concatenate(
             [flatten(i3d_feature_head(x_rgb)), flatten(i3d_feature_head(x_flow))],
             axis=-1,

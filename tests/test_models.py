@@ -179,3 +179,60 @@ def test_member_forward_share_stem_staging():
     )
     assert a.shape == (2, 3, 3)
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_twostream_prestaged_stem_matches_canonical():
+    """TwoStream shared-staging: both trunks' s2d stagings computed by the
+    caller + stem_prestaged module == canonical forward, same params."""
+    from crowded_scenes_ensemble_classification_tpu.models import TwoStreamI3D
+    from crowded_scenes_ensemble_classification_tpu.models.common import (
+        s2d_stem_stage,
+    )
+
+    m0 = TwoStreamI3D(num_classes=3)
+    m1 = m0.clone(stem_prestaged=True)
+    rng = np.random.default_rng(3)
+    rgb = jnp.asarray(rng.normal(size=(2, 16, 64, 64, 3)), jnp.float32)
+    flow = jnp.asarray(rng.normal(size=(2, 16, 64, 64, 2)), jnp.float32)
+    v = m0.init(jax.random.key(0), rgb, flow, train=False)
+    a = m0.apply(v, rgb, flow, train=False)
+    b = m1.apply(v, s2d_stem_stage(rgb), s2d_stem_stage(flow), train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_member_forward_share_stem_staging_twostream():
+    """share_stem_staging on a TWOSTREAM_I3D bundle (precomputed flow in
+    the batch): probabilities match the canonical per-member path."""
+    from crowded_scenes_ensemble_classification_tpu.core.config import ClipSpec
+    from crowded_scenes_ensemble_classification_tpu.ensemble.members import (
+        make_member_forward,
+        stack_variables,
+    )
+    from crowded_scenes_ensemble_classification_tpu.models import TwoStreamI3D
+    from crowded_scenes_ensemble_classification_tpu.models.registry import (
+        ModelBundle,
+    )
+
+    bundle = ModelBundle(
+        model_type="TWOSTREAM_I3D",
+        module=TwoStreamI3D(num_classes=3),
+        clip=ClipSpec(frames=16, height=64, width=64, flow_channels=2),
+        num_classes=3,
+        two_stream=True,
+    )
+    rng = np.random.default_rng(4)
+    batch = {
+        "rgb": rng.integers(0, 255, (2, 16, 64, 64, 3)).astype(np.uint8),
+        "flow": rng.normal(size=(2, 16, 64, 64, 2)).astype(np.float32),
+    }
+    stacked = stack_variables(
+        [bundle.init(jax.random.key(i)) for i in range(2)]
+    )
+    a = np.asarray(make_member_forward(bundle, (64, 64))(stacked, batch))
+    b = np.asarray(
+        make_member_forward(bundle, (64, 64), share_stem_staging=True)(
+            stacked, batch
+        )
+    )
+    assert a.shape == (2, 2, 3)
+    np.testing.assert_allclose(a, b, atol=2e-5)
