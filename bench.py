@@ -172,6 +172,7 @@ def _flow_breakouts(results: dict):
 
     from crowded_scenes_ensemble_classification_tpu.flow.farneback import (
         TURBO_PARAMS,
+        farneback_flow_batch,
         farneback_flow_pair,
     )
 
@@ -261,11 +262,9 @@ def _flow_breakouts(results: dict):
 
             def flow_chunk(args):
                 a, bb = args
-                return jax.vmap(
-                    jax.vmap(
-                        lambda p, c: farneback_flow_pair(p, c, **TURBO_PARAMS)
-                    )
-                )(a, bb)
+                # flat-batch form — nested vmap halves flow throughput
+                # (flow.farneback.farneback_flow_batch)
+                return farneback_flow_batch(a, bb, **TURBO_PARAMS)
 
             flows = jax.lax.map(flow_chunk, (gc, gn)).reshape(
                 b, t, SIZE, SIZE, 2

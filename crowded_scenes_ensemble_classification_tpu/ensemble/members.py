@@ -74,16 +74,16 @@ def make_member_forward(
                 )
             else:
                 # on-device Farneback from staged gray pairs (see
-                # train.engine._preprocess for the convention)
-                from ..flow.farneback import farneback_flow_pair
+                # train.engine._preprocess for the convention); flat-batch
+                # form — nested vmap halves flow throughput (farneback.
+                # farneback_flow_batch)
+                from ..flow.farneback import farneback_flow_batch
 
                 kw = dict(flow_params or {})
                 kw.setdefault("fast_warp", flow_fast_warp)
                 gray = batch["gray"].astype(jnp.float32)[..., 0]
                 gray_next = batch["gray_next"].astype(jnp.float32)[..., 0]
-                flows = jax.vmap(
-                    jax.vmap(lambda a, b: farneback_flow_pair(a, b, **kw))
-                )(gray, gray_next)
+                flows = farneback_flow_batch(gray, gray_next, **kw)
                 inputs["flow"] = identity_resize_batch(flows, out_hw)
 
         if prestaged_module is not None and two_stream:
@@ -181,13 +181,18 @@ def member_probabilities(
     store_probabilities evaluate_ensemble.py:1002-1109)."""
     out_hw = (bundle.clip.height, bundle.clip.width)
     stacked = stack_variables(variables_list)
+    # I3D-family: compute the s2d stem staging once per batch, shared by
+    # every member (both trunks for TwoStream) — parity-tested to 2e-5.
+    share = bundle.model_type in ("I3D", "TWOSTREAM_I3D")
     if mesh is not None and "member" in mesh.axis_names and (
         len(variables_list) % mesh.shape["member"] == 0
     ):
         stacked = shard_stacked(stacked, mesh)
-        forward = get_member_forward(bundle, out_hw, mesh)
+        forward = get_member_forward(
+            bundle, out_hw, mesh, share_stem_staging=share
+        )
     else:
-        forward = get_member_forward(bundle, out_hw)
+        forward = get_member_forward(bundle, out_hw, share_stem_staging=share)
 
     from ..data.pipeline import prefetch_batches
 

@@ -10,6 +10,7 @@ in PARITY.md.
 
 from .farneback import (  # noqa: F401
     REFERENCE_PARAMS,
+    farneback_flow_batch,
     farneback_flow_clip,
     farneback_flow_pair,
     polynomial_expansion,

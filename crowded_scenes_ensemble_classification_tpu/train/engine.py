@@ -74,15 +74,15 @@ def _preprocess(
             # are resized spatially only (values in source-pixel units,
             # like cv2.resize on flow frames at train.py:236-238); no
             # input_scale (flow is not 0-255 imagery).
-            from ..flow.farneback import farneback_flow_pair
+            from ..flow.farneback import farneback_flow_batch
 
             kw = dict(flow_params or {})
             kw.setdefault("fast_warp", flow_fast_warp)
             gray = batch["gray"].astype(jnp.float32)[..., 0]
             gray_next = batch["gray_next"].astype(jnp.float32)[..., 0]
-            flows = jax.vmap(
-                jax.vmap(lambda a, b: farneback_flow_pair(a, b, **kw))
-            )(gray, gray_next)
+            # flat-batch form — nested vmap halves flow throughput
+            # (farneback.farneback_flow_batch)
+            flows = farneback_flow_batch(gray, gray_next, **kw)
             out["flow"] = identity_resize_batch(flows, out_hw)
     return out
 

@@ -245,6 +245,45 @@ def test_member_parallel_forward_matches_sequential():
         )
 
 
+def test_member_probabilities_i3d_auto_shared_staging():
+    """member_probabilities auto-enables shared stem staging for the
+    I3D family; probabilities still match the per-member canonical
+    forward (ensemble/members.py:184-188)."""
+    from crowded_scenes_ensemble_classification_tpu.models import I3D
+    from crowded_scenes_ensemble_classification_tpu.ops.augment import (
+        identity_resize_batch,
+    )
+
+    bundle = ModelBundle(
+        model_type="I3D",
+        module=I3D(num_classes=3),
+        clip=ClipSpec(frames=16, height=64, width=64),
+        num_classes=3,
+        two_stream=False,
+    )
+    vars_list = [bundle.init(jax.random.key(i)) for i in range(2)]
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 255, (3, 16, 64, 64, 3)).astype(np.uint8)
+
+    class FakePipe:
+        def batches(self, epoch=0):
+            yield {
+                "rgb": rgb,
+                "label": rng.integers(0, 3, 3),
+                "valid": np.ones(3, bool),
+                "index": np.arange(3),
+            }
+
+    probs = member_probabilities(bundle, vars_list, FakePipe())
+    assert probs.shape == (2, 3, 3)
+    x = identity_resize_batch(jnp.asarray(rgb, jnp.float32), (64, 64))
+    for i, v in enumerate(vars_list):
+        logits = bundle.apply(v, {"rgb": x}, train=False)
+        np.testing.assert_allclose(
+            probs[i], np.asarray(jax.nn.softmax(logits, -1)), atol=2e-5
+        )
+
+
 def test_member_parallel_on_mesh():
     mesh = make_mesh((("member", 2), ("data", -1)))
     bundle = ModelBundle(

@@ -70,6 +70,29 @@ def test_farneback_clip_api(rng):
     assert flows.shape == (3, 48, 48, 2)
 
 
+def test_farneback_batch_api_matches_nested(rng):
+    """farneback_flow_batch flattens leading batch dims into one vmap axis
+    (nested vmap halves TPU throughput); result == the nested-vmap form."""
+    from crowded_scenes_ensemble_classification_tpu.flow import (
+        farneback_flow_batch,
+    )
+
+    gray = jnp.asarray(
+        np.stack(
+            [textured_image(rng, 48, 48) for _ in range(6)]
+        ).reshape(2, 3, 48, 48)
+    )
+    gray_next = jnp.roll(gray, -1, axis=1)
+    a = np.asarray(farneback_flow_batch(gray, gray_next))
+    b = np.asarray(
+        jax.vmap(jax.vmap(lambda p, c: farneback_flow_pair(p, c)))(
+            gray, gray_next
+        )
+    )
+    assert a.shape == (2, 3, 48, 48, 2)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_tvl1_recovers_translation(rng):
     I0, I1 = shifted_pair(rng, dx=1.5, dy=-1.0)
     flow = np.asarray(
