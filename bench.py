@@ -71,10 +71,13 @@ AUGMENT_P = 0.75
 # flow-stream breakout (north-star includes flow): modest sizes so the
 # extra compiles can't threaten the primary headline's bench window
 FLOW_PAIRS = 76  # = 4 clips x 19 pairs, vmapped as the train path does
-# B=8 measured 9.68 clips/s (batch-bound); B=24 with the flow computed in
-# 4-clip chunks (80 concurrent pairs — bounds the pyramid intermediates;
-# the unchunked 480-pair vmap OOMs at 24.7 GB) measured 11.46 on v5e.
-TWOSTREAM_BATCH = 24
+# Flow in 4-clip chunks (80 concurrent pairs — bounds the pyramid
+# intermediates; the unchunked 480-pair vmap OOMs at 24.7 GB; 8-clip
+# chunks measured 2.4× SLOWER — memory pressure).  With flat-batch flow
+# (farneback_flow_batch) + shared stem staging, v5e: B=24 28.14 clips/s
+# (nested-vmap round-3 shipping number was 11.46), B=48 31.20 (compile
+# 171 s).  B=8 9.68 (batch-bound).
+TWOSTREAM_BATCH = 48
 TWOSTREAM_FLOW_CHUNK = 4
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")

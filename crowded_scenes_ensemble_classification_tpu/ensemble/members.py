@@ -77,10 +77,14 @@ def make_member_forward(
                 # train.engine._preprocess for the convention); flat-batch
                 # form — nested vmap halves flow throughput (farneback.
                 # farneback_flow_batch)
-                from ..flow.farneback import farneback_flow_batch
+                from ..flow.farneback import (
+                    FLOW_CHUNK_PAIRS,
+                    farneback_flow_batch,
+                )
 
                 kw = dict(flow_params or {})
                 kw.setdefault("fast_warp", flow_fast_warp)
+                kw.setdefault("chunk_pairs", FLOW_CHUNK_PAIRS)
                 gray = batch["gray"].astype(jnp.float32)[..., 0]
                 gray_next = batch["gray_next"].astype(jnp.float32)[..., 0]
                 flows = farneback_flow_batch(gray, gray_next, **kw)

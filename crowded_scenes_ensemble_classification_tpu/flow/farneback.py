@@ -64,6 +64,11 @@ TURBO_PARAMS = dict(
     fast_warp=True, fine_iterations=1, fine_max_disp=4, fine_levels=3
 )
 
+# Memory-bounding chunk for farneback_flow_batch in the clip pipelines:
+# 80 pairs ≈ 4 GB of pyramid intermediates at 224² and the measured
+# throughput sweet spot (842 fields/s in-pipeline on v5e).
+FLOW_CHUNK_PAIRS = 80
+
 
 def _poly_exp_setup(poly_n: int, poly_sigma: float):
     """Precompute the 1-D moment kernels and the constant LS solve matrix.
@@ -246,7 +251,12 @@ def farneback_flow_clip(gray_clip: jax.Array, **params) -> jax.Array:
     return jax.vmap(lambda p, c: farneback_flow_pair(p, c, **params))(prevs, currs)
 
 
-def farneback_flow_batch(prevs: jax.Array, currs: jax.Array, **params) -> jax.Array:
+def farneback_flow_batch(
+    prevs: jax.Array,
+    currs: jax.Array,
+    chunk_pairs: int | None = None,
+    **params,
+) -> jax.Array:
     """Flow for pairs with ARBITRARY leading batch dims:
     (..., H, W) → (..., H, W, 2).
 
@@ -255,12 +265,31 @@ def farneback_flow_batch(prevs: jax.Array, currs: jax.Array, **params) -> jax.Ar
     natural shape in the clip pipelines — carry the un-flattened batch
     dims into every conv of the pyramid and HALVE throughput on TPU:
     measured 243 fields/s nested vs 532 flat for the identical 80 224²
-    pairs on v5e.  Always batch flow through this helper."""
+    pairs on v5e.  Always batch flow through this helper.
+
+    chunk_pairs bounds peak memory: the pyramid intermediates of a fully
+    vmapped batch are materialized for every pair at once (~51 MB/pair at
+    224² — 480 pairs OOMs a 16 GB chip), so the flat batch is processed
+    in lax.map chunks of `chunk_pairs` pairs (padded to a multiple; the
+    pad rows compute throwaway zero-flow).  80-pair chunks measured 842
+    fields/s inside the TwoStream pipeline on v5e."""
     h, w = prevs.shape[-2:]
     lead = prevs.shape[:-2]
-    flows = jax.vmap(lambda a, b: farneback_flow_pair(a, b, **params))(
-        prevs.reshape((-1, h, w)), currs.reshape((-1, h, w))
-    )
+    p = prevs.reshape((-1, h, w))
+    c = currs.reshape((-1, h, w))
+    n = p.shape[0]
+    solve = jax.vmap(lambda a, b: farneback_flow_pair(a, b, **params))
+    if chunk_pairs and n > chunk_pairs:
+        pad = (-n) % chunk_pairs
+        if pad:
+            p = jnp.concatenate([p, jnp.zeros((pad, h, w), p.dtype)])
+            c = jnp.concatenate([c, jnp.zeros((pad, h, w), c.dtype)])
+        flows = jax.lax.map(
+            lambda ab: solve(ab[0], ab[1]),
+            (p.reshape(-1, chunk_pairs, h, w), c.reshape(-1, chunk_pairs, h, w)),
+        ).reshape(-1, h, w, 2)[:n]
+    else:
+        flows = solve(p, c)
     return flows.reshape(lead + (h, w, 2))
 
 

@@ -74,10 +74,11 @@ def _preprocess(
             # are resized spatially only (values in source-pixel units,
             # like cv2.resize on flow frames at train.py:236-238); no
             # input_scale (flow is not 0-255 imagery).
-            from ..flow.farneback import farneback_flow_batch
+            from ..flow.farneback import FLOW_CHUNK_PAIRS, farneback_flow_batch
 
             kw = dict(flow_params or {})
             kw.setdefault("fast_warp", flow_fast_warp)
+            kw.setdefault("chunk_pairs", FLOW_CHUNK_PAIRS)
             gray = batch["gray"].astype(jnp.float32)[..., 0]
             gray_next = batch["gray_next"].astype(jnp.float32)[..., 0]
             # flat-batch form — nested vmap halves flow throughput

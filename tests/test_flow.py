@@ -91,6 +91,12 @@ def test_farneback_batch_api_matches_nested(rng):
     )
     assert a.shape == (2, 3, 48, 48, 2)
     np.testing.assert_allclose(a, b, atol=1e-5)
+    # memory-bounding chunked path, non-divisible total (6 pairs, chunks
+    # of 4 → one padded chunk): pad rows discarded, flow equal to float
+    # noise (different batch shapes compile to different fusion/rounding;
+    # measured ≤1e-3 px — far under the solver's own EPE tolerances)
+    c = np.asarray(farneback_flow_batch(gray, gray_next, chunk_pairs=4))
+    np.testing.assert_allclose(c, a, atol=5e-3)
 
 
 def test_tvl1_recovers_translation(rng):
