@@ -95,6 +95,13 @@ def _jitted_member_probabilities(
     key = (stride, input_scale)
     if key not in cache:
         window = bundle.clip.frames
+        # I3D: one shared s2d stem staging for all members × windows
+        # (ensemble.members share_stem_staging, same 1.2× stem win)
+        prestaged = (
+            bundle.module.clone(stem_prestaged=True)
+            if bundle.model_type == "I3D" and not bundle.two_stream
+            else None
+        )
 
         @jax.jit
         def fn(stacked_variables, clips):
@@ -105,10 +112,22 @@ def _jitted_member_probabilities(
             )
             flat = wins.reshape((b * n_win,) + wins.shape[2:])
 
-            def member(variables):
-                logits = bundle.apply(variables, {"rgb": flat}, train=False)
-                probs = jax.nn.softmax(logits, axis=-1).reshape(b, n_win, -1)
-                return jnp.mean(probs, axis=1)
+            if prestaged is not None:
+                from ..models.common import s2d_stem_stage
+
+                xs = s2d_stem_stage(flat)
+
+                def member(variables):
+                    logits = prestaged.apply(variables, xs, train=False)
+                    probs = jax.nn.softmax(logits, axis=-1).reshape(b, n_win, -1)
+                    return jnp.mean(probs, axis=1)
+
+            else:
+
+                def member(variables):
+                    logits = bundle.apply(variables, {"rgb": flat}, train=False)
+                    probs = jax.nn.softmax(logits, axis=-1).reshape(b, n_win, -1)
+                    return jnp.mean(probs, axis=1)
 
             return jax.vmap(member)(stacked_variables)
 

@@ -112,6 +112,36 @@ def test_streaming_member_ensemble(rng):
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-4)
 
 
+def test_streaming_member_ensemble_i3d_prestaged(rng):
+    """I3D streaming goes through the shared-stem-staging path; window
+    averages match the canonical per-member streaming_predict_batch."""
+    from crowded_scenes_ensemble_classification_tpu.ensemble import stack_variables
+    from crowded_scenes_ensemble_classification_tpu.models import I3D
+    from crowded_scenes_ensemble_classification_tpu.parallel import (
+        streaming_member_probabilities,
+    )
+    from crowded_scenes_ensemble_classification_tpu.parallel.streaming import (
+        streaming_predict_batch,
+    )
+
+    bundle = ModelBundle(
+        model_type="I3D",
+        module=I3D(num_classes=3),
+        clip=ClipSpec(frames=16, height=64, width=64),
+        num_classes=3,
+        two_stream=False,
+    )
+    vars_list = [bundle.init(jax.random.key(i)) for i in range(2)]
+    clips = jnp.asarray(rng.integers(0, 255, (2, 40, 64, 64, 3)), jnp.float32)
+    probs = streaming_member_probabilities(
+        bundle, stack_variables(vars_list), clips, input_scale=1 / 255.0
+    )
+    assert probs.shape == (2, 2, 3)
+    for i, v in enumerate(vars_list):
+        ref = streaming_predict_batch(bundle, v, clips, input_scale=1 / 255.0)
+        np.testing.assert_allclose(np.asarray(probs[i]), np.asarray(ref), atol=2e-5)
+
+
 def test_i3d_kinetics_geometry_64_frames():
     """BASELINE config #3: I3D accepts the original 64-frame Kinetics
     geometry (all shapes static under jit)."""
