@@ -515,6 +515,17 @@ def main():
     th.join(timeout=float(os.environ.get("BENCH_BREAKOUT_TIMEOUT_S", "2700")))
     if done.is_set():
         results.update(extra)
+    if "twostream_clips_per_sec" in results:
+        # TwoStream e2e: the wire carries rgb only (flow is computed on
+        # device from it), so the decode-inclusive rate is bounded by the
+        # SAME transfer path as the headline and the TS device pipeline.
+        results["twostream_e2e_bound_clips_per_sec"] = round(
+            min(
+                results["h2d_bound_clips_per_sec"],
+                results["twostream_clips_per_sec"],
+            ),
+            2,
+        )
     print(json.dumps(results))
     if not done.is_set():
         sys.stdout.flush()

@@ -379,6 +379,34 @@ def test_tvl1_turbo_epe_per_motion(motion, rng):
     assert epe(turbo, gt) < TVL1_LIMITS[motion], (motion, epe(turbo, gt))
 
 
+@pytest.mark.parametrize("dx,dy", [(10.0, -4.0), (14.0, 6.0)])
+def test_farneback_turbo_large_motion_224(dx, dy, rng):
+    """TURBO_PARAMS recovers 10-14 px translations at the production 224²
+    resolution (the coarse pyramid level sees them at ≤1.75 px, well
+    inside the solver's envelope; the per-warp ±32 px clamp never binds).
+    Commits the round-3 large-motion calibration as a regression test."""
+    from crowded_scenes_ensemble_classification_tpu.flow.farneback import (
+        TURBO_PARAMS,
+    )
+
+    size, pad = 224, 24
+    big = textured(rng, size + 2 * pad, size + 2 * pad, blur=3.0)
+    M = np.float32([[1, 0, dx], [0, 1, dy]])
+    I0 = big[pad : pad + size, pad : pad + size]
+    I1 = cv2.warpAffine(big, M, (size + 2 * pad, size + 2 * pad))[
+        pad : pad + size, pad : pad + size
+    ]
+    flow = np.asarray(
+        farneback_flow_pair(jnp.asarray(I0), jnp.asarray(I1), **TURBO_PARAMS)
+    )
+    inner = flow[pad:-pad, pad:-pad]
+    assert abs(np.median(inner[..., 0]) - dx) < 0.5, np.median(inner[..., 0])
+    assert abs(np.median(inner[..., 1]) - dy) < 0.5, np.median(inner[..., 1])
+    gt = np.broadcast_to(np.float32([dx, dy]), (size, size, 2))
+    d = flow[pad:-pad, pad:-pad] - gt[pad:-pad, pad:-pad]
+    assert float(np.sqrt((d**2).sum(-1)).mean()) < 1.0
+
+
 def test_farneback_turbo_on_real_decoded_video(tmp_path, rng):
     """TURBO_PARAMS on frames that went through a REAL mp4 encode→decode
     round trip: must recover the injected translation like the full
