@@ -73,10 +73,9 @@ AUGMENT_P = 0.75
 FLOW_PAIRS = 76  # = 4 clips x 19 pairs, vmapped as the train path does
 # Flow in 4-clip chunks (80 concurrent pairs — bounds the pyramid
 # intermediates; the unchunked 480-pair vmap OOMs at 24.7 GB; 8-clip
-# chunks measured 2.4× SLOWER — memory pressure).  With flat-batch flow
-# (farneback_flow_batch) + shared stem staging, v5e: B=24 28.14 clips/s
-# (nested-vmap round-3 shipping number was 11.46), B=48 31.20 (compile
-# 171 s).  B=8 9.68 (batch-bound).
+# chunks measured 2.4× SLOWER — memory pressure).  v5e progression at
+# B=48: 11.46 (nested-vmap flow) → 31.20 (flat-batch flow, shared stem
+# staging) → 77.46 (elementwise Farnebäck solver core; compile 169 s).
 TWOSTREAM_BATCH = 48
 TWOSTREAM_FLOW_CHUNK = 4
 

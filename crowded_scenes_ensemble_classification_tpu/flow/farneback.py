@@ -58,8 +58,10 @@ REFERENCE_PARAMS = dict(
 # in max_disp).  EPE-gated on the synthetic motion suite
 # (tests/test_flow_motions.py) — same ceilings as the reference schedule,
 # measured within 0.01 px of it on every motion (small AND 8-14 px
-# large-motion cases).  v5e, 76 vmapped 224² pairs: 564 fields/s vs 173
-# for the full schedule (3.3×).
+# large-motion cases, test_farneback_turbo_large_motion_224).  v5e,
+# 80-pair flat-batch 224² chunks with the elementwise solver core:
+# 4205 fields/s in-pipeline (bench.py reports the full-schedule and
+# turbo rates it measures each run).
 TURBO_PARAMS = dict(
     fast_warp=True, fine_iterations=1, fine_max_disp=4, fine_levels=3
 )
