@@ -214,10 +214,12 @@ def farneback_flow_pair(
     gather-free MXU kernel (pyramid.warp_image_mxu) — 9× faster than the
     gather path it replaced, and faster than the separable approximation
     at the single-warp level (0.29 vs 0.76 ms at 224²).  Inside the full
-    coarse-to-fine solver the separable form still wins overall (150 vs
-    119 fields/s — small pyramid levels favour shifts), so fast_warp=True
-    remains the throughput knob; both bound displacements per warp, and
-    the e2e TwoStream test shows predictions are identical either way.
+    coarse-to-fine solver the separable form still wins overall (re-A/B'd
+    after the elementwise-core rewrite: 915 vs 762 fields/s on the
+    80-pair turbo chunk — small pyramid levels favour shifts), so
+    fast_warp=True remains the throughput knob; both bound displacements
+    per warp, and the e2e TwoStream test shows predictions are identical
+    either way.
 
     max_disp bounds the PER-WARP displacement: motions beyond ±max_disp px
     at a pyramid level saturate (PARITY.md).  The default 32 comfortably
