@@ -120,6 +120,14 @@ class ExperimentConfig:
             raise ValueError(
                 f"optical_flow_status {self.optical_flow_status!r} not in {OPTICAL_FLOW_STATUSES}"
             )
+        if self.folds_number < 3:
+            # every (test, val) fold pair must leave ≥1 train fold
+            # (k−2 ≥ 1; reference runs k=5, generate_folds.py:163-204)
+            raise ValueError(
+                f"folds_number must be ≥3 (got {self.folds_number}): the "
+                "k·(k−1) member grid needs at least one training fold per "
+                "(test, validation) pair"
+            )
 
     # ------------------------------------------------------------------
     # Legacy artifact naming (write-only; reference train.py:1983-2008)

@@ -57,6 +57,9 @@ def test_config_validation_and_json_roundtrip(tmp_path):
         ExperimentConfig(model_type="VGG")
     with pytest.raises(ValueError):
         ExperimentConfig(training_condition="SCRATCH")
+    with pytest.raises(ValueError):
+        # k < 3 leaves no training folds for the k·(k−1) member grid
+        ExperimentConfig(folds_number=2)
     cfg = ExperimentConfig(model_type="R3D_50", batch_size=4)
     path = str(tmp_path / "cfg.json")
     cfg.save(path)
