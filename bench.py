@@ -176,6 +176,7 @@ def _flow_breakouts(results: dict):
         TURBO_PARAMS,
         farneback_flow_batch,
         farneback_flow_pair,
+        rgb_to_gray,
     )
 
     rng = np.random.default_rng(3)
@@ -251,25 +252,16 @@ def _flow_breakouts(results: dict):
 
         @jax.jit
         def ts_pipeline(stacked_vars, rgb_f32, carry):
-            gray = 0.114 * rgb_f32[..., 0] + 0.587 * rgb_f32[..., 1] + 0.299 * rgb_f32[..., 2]
+            gray = rgb_to_gray(rgb_f32)
             # T flow fields per clip — the engine's (gray, gray_next)
             # pair convention (train/engine._preprocess); the wrap pair
-            # keeps the billing at exactly T fields/clip.  Flow runs in
-            # `ch`-clip chunks (ch·T concurrent pairs): the full B·T vmap
-            # materializes pyramid intermediates for every pair at once
-            # and OOMs beyond ~10 clips (24.7 GB at B=24).
+            # keeps the billing at exactly T fields/clip.  chunk_pairs
+            # bounds the pyramid intermediates (the full B·T vmap OOMs
+            # beyond ~10 clips — 24.7 GB at B=24); the library helper
+            # does the flat-batch + lax.map chunking the pipelines use.
             gray_next = jnp.roll(gray, -1, axis=1)
-            gc = gray.reshape(b // ch, ch, t, SIZE, SIZE)
-            gn = gray_next.reshape(b // ch, ch, t, SIZE, SIZE)
-
-            def flow_chunk(args):
-                a, bb = args
-                # flat-batch form — nested vmap halves flow throughput
-                # (flow.farneback.farneback_flow_batch)
-                return farneback_flow_batch(a, bb, **TURBO_PARAMS)
-
-            flows = jax.lax.map(flow_chunk, (gc, gn)).reshape(
-                b, t, SIZE, SIZE, 2
+            flows = farneback_flow_batch(
+                gray, gray_next, chunk_pairs=ch * t, **TURBO_PARAMS
             )
             # both trunks' s2d stem stagings computed once, shared by all
             # members (models.common.s2d_stem_stage)
@@ -524,6 +516,112 @@ def main():
                 results["twostream_clips_per_sec"],
             ),
             2,
+        )
+    if os.environ.get("BENCH_TWOSTREAM_E2E") == "1":
+        # Opt-in MEASURED TwoStream decode-inclusive e2e (wire-fed, flow
+        # computed on device from the shipped rgb).  Off by default: the
+        # extra full TwoStream wire-pipeline compile (~3-5 min via the
+        # axon helper) would risk the driver's bench window, and the
+        # number is transfer-bound to the same h2d ceiling the bound
+        # field already reports.
+        from crowded_scenes_ensemble_classification_tpu.flow.farneback import (
+            TURBO_PARAMS,
+            farneback_flow_batch,
+            rgb_to_gray,
+        )
+
+        ts_bundle = build_model(
+            "TWOSTREAM_I3D", num_classes=11, dtype=jnp.bfloat16
+        )
+        ts_prestaged = ts_bundle.module.clone(stem_prestaged=True)
+        tkeys = jax.random.split(jax.random.key(5), NUM_MEMBERS)
+        rgb_d = jnp.zeros((1, FRAMES, SIZE, SIZE, 3), jnp.bfloat16)
+        flow_d = jnp.zeros((1, FRAMES, SIZE, SIZE, 2), jnp.bfloat16)
+        ts_stacked = stack_variables(
+            [ts_bundle.module.init(k, rgb_d, flow_d, train=False) for k in tkeys]
+        )
+        tsb = TWOSTREAM_BATCH
+        ts_steps = n_clips // tsb
+        ts_plan = plan_wire_steps(
+            jax.random.key(11), ts_steps, tsb, FRAMES,
+            (STAGING, STAGING), (SIZE, SIZE), p=AUGMENT_P,
+        )
+        ts_unpack = make_wire_unpack(ts_plan)
+        tkey = jax.random.key(12)
+
+        @jax.jit
+        def ts_wire_pipeline(stacked_vars, wire_u8, offsets, key, step, carry):
+            step_key = jax.random.fold_in(key, step)
+            buf = ts_unpack(wire_u8, offsets, step_key)
+            x = crowd11_augment_windowed_batch(
+                buf.astype(jnp.float32), step_key, (SIZE, SIZE),
+                (STAGING, STAGING), p=AUGMENT_P,
+            )
+            gray = rgb_to_gray(x)
+            flows = farneback_flow_batch(
+                gray, jnp.roll(gray, -1, axis=1),
+                chunk_pairs=TWOSTREAM_FLOW_CHUNK * FRAMES, **TURBO_PARAMS,
+            )
+            xs_rgb = s2d_stem_stage(x.astype(jnp.bfloat16))
+            xs_flow = s2d_stem_stage(flows.astype(jnp.bfloat16))
+
+            def member(v):
+                logits = ts_prestaged.apply(v, xs_rgb, xs_flow, train=False)
+                return jax.nn.softmax(logits, axis=-1)
+
+            probs = jax.lax.map(member, stacked_vars)
+            return carry + jnp.sum(jnp.argmax(jnp.einsum("mbc->bc", probs), -1))
+
+        def ts_read_and_pack(step: int):
+            idx = np.arange(step * tsb, (step + 1) * tsb)
+            do_crop, _y0, _x0, _off = ts_plan.steps[step]
+            crop_pos = np.nonzero(do_crop)[0]
+            full_pos = np.nonzero(~do_crop)[0]
+            staging = (
+                staging_reader.read_batch(idx[crop_pos])[0]
+                if len(crop_pos)
+                else np.zeros((0, FRAMES, STAGING, STAGING, 3), np.uint8)
+            )
+            eval_u8 = (
+                eval_reader.read_batch(idx[full_pos])[0]
+                if len(full_pos)
+                else np.zeros((0, FRAMES, SIZE, SIZE, 3), np.uint8)
+            )
+            return pack_ragged_windows(ts_plan, step, staging, eval_u8)
+
+        w0, o0 = ts_read_and_pack(0)
+        carry = jnp.int32(0)
+        carry = ts_wire_pipeline(
+            ts_stacked, jax.device_put(w0), jax.device_put(o0), tkey,
+            jnp.uint32(0), carry,
+        )
+        float(carry)  # compile + sync
+
+        tq: "queue.Queue" = queue.Queue(maxsize=3)
+
+        def ts_feeder():
+            for s in range(ts_steps):
+                wire, offsets = ts_read_and_pack(s)
+                tq.put((s, jax.device_put(wire), jax.device_put(offsets)))
+            tq.put(None)
+
+        tt = threading.Thread(target=ts_feeder, daemon=True)
+        carry = jnp.int32(0)
+        n_ts = 0
+        t0 = time.perf_counter()
+        tt.start()
+        while True:
+            item = tq.get()
+            if item is None:
+                break
+            s, wire_b, off_b = item
+            carry = ts_wire_pipeline(
+                ts_stacked, wire_b, off_b, tkey, jnp.uint32(s), carry
+            )
+            n_ts += 1
+        float(carry)
+        results["twostream_e2e_clips_per_sec"] = round(
+            tsb * n_ts / (time.perf_counter() - t0), 2
         )
     print(json.dumps(results))
     if not done.is_set():

@@ -56,10 +56,16 @@ def _add_config_flags(p: argparse.ArgumentParser):
     p.add_argument("--num-classes", type=int, default=11)
     p.add_argument("--batch-size", "-bs", type=int, default=16)
     p.add_argument("--epochs", "-e", type=int, default=100)
+    p.add_argument(
+        "--input-scale", type=float, default=None,
+        help="pixel pre-scale for model inputs (default: the scale saved "
+             "by launch/train for this config in the work dir, else 1.0 = "
+             "reference parity raw 0-255 floats)",
+    )
 
 
 def _config_from_args(args) -> ExperimentConfig:
-    return ExperimentConfig(
+    cfg = ExperimentConfig(
         model_type=args.model_type,
         training_condition=args.training_condition,
         folds_number=args.folds_number,
@@ -70,7 +76,22 @@ def _config_from_args(args) -> ExperimentConfig:
         num_classes=args.num_classes,
         batch_size=args.batch_size,
         epochs=args.epochs,
+        input_scale=args.input_scale if args.input_scale is not None else 1.0,
     )
+    if args.input_scale is None and getattr(args, "work_dir", None):
+        # Recover the scale the members trained with: launch/train persist
+        # the config per subfolder (WorkLayout.experiment_json), so probs/
+        # ensemble/report can't silently evaluate at a different scale.
+        import dataclasses
+
+        from ..orchestration import WorkLayout
+
+        saved = WorkLayout(args.work_dir).experiment_json(cfg)
+        if os.path.exists(saved):
+            cfg = dataclasses.replace(
+                cfg, input_scale=ExperimentConfig.load(saved).input_scale
+            )
+    return cfg
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -101,7 +122,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset-directory", "-df", default=None)
     p.add_argument("--database-file", "-db", default=None)
     p.add_argument("--runner", choices=["local", "commands"], default="local")
-    p.add_argument("--input-scale", type=float, default=1.0)
     p.add_argument("--rgb-h5", default=None,
                    help="_PRETRAINED: Keras h5 or converted .msgpack (rgb)")
     p.add_argument("--flow-h5", default=None,
@@ -112,7 +132,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--work-dir", required=True)
     p.add_argument("--test-index", "-t", type=int, required=True)
     p.add_argument("--val-index", "-v", type=int, required=True)
-    p.add_argument("--input-scale", type=float, default=1.0)
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--rgb-h5", default=None,
                    help="_PRETRAINED: Keras h5 or converted .msgpack (rgb)")
@@ -137,6 +156,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--long-frames", type=int, default=None,
                    help="frames staged per long clip (default: 4x the "
                         "model window)")
+    p.add_argument("--recompute", action="store_true",
+                   help="recompute even if the probability cache exists")
 
     p = sub.add_parser("ensemble", help="ensemble evaluation")
     _add_config_flags(p)
@@ -146,6 +167,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--weights-type", "-wt", choices=WEIGHTING_SCHEMES, default="SUM")
     p.add_argument("--de-seed", type=int, default=None)
+    p.add_argument("--long-video", action="store_true",
+                   help="fuse the long-video window-scan probability "
+                        "caches (same flags as `probs --long-video`; "
+                        "computed on miss)")
+    p.add_argument("--window-stride", type=int, default=None)
+    p.add_argument("--long-frames", type=int, default=None)
     p.add_argument(
         "--models", "-ml", nargs="*", default=None,
         help="model specs for global/combine ops, e.g. C3D_SCRATCH "
@@ -247,7 +274,6 @@ def main(argv=None) -> int:
             table = build_clip_table(args.dataset_directory, args.database_file)
         out = launch_ensemble_training(
             config, table, args.work_dir, runner=args.runner,
-            input_scale=args.input_scale,
             rgb_h5=args.rgb_h5, flow_h5=args.flow_h5,
         )
         if args.runner == "commands":
@@ -271,7 +297,6 @@ def main(argv=None) -> int:
             layout,
             args.test_index,
             args.val_index,
-            input_scale=args.input_scale,
             verbose=args.verbose,
             rgb_h5=args.rgb_h5,
             flow_h5=args.flow_h5,
@@ -299,6 +324,7 @@ def main(argv=None) -> int:
                 long_video=args.long_video,
                 window_stride=args.window_stride,
                 long_frames=args.long_frames,
+                recompute=args.recompute,
             )
             print(path)
             if args.export_csv:
@@ -320,7 +346,14 @@ def main(argv=None) -> int:
 
         config = _config_from_args(args)
         layout = WorkLayout(args.work_dir)
-        provider = make_prob_provider(config, layout)
+        provider_kwargs = {}
+        if args.long_video:
+            provider_kwargs = dict(
+                long_video=True,
+                window_stride=args.window_stride,
+                long_frames=args.long_frames,
+            )
+        provider = make_prob_provider(config, layout, **provider_kwargs)
         if args.operation == "evaluate":
             res = evaluate_ensembles(
                 provider,
@@ -343,7 +376,7 @@ def main(argv=None) -> int:
 
                 providers = global_prob_providers(
                     args.models, args.work_dir, config.folds_number,
-                    config.num_classes,
+                    config.num_classes, **provider_kwargs,
                 )
             else:
                 providers = {config.subfolder_name(): provider}
@@ -381,9 +414,11 @@ def main(argv=None) -> int:
         provider = make_prob_provider(config, layout)
         os.makedirs(layout.results_dir, exist_ok=True)
 
-        if args.operation == "difference" and args.scope == "global":
-            # Global heterogeneous path: (global-ensemble CM − individual
-            # member CM) heatmaps (reference evaluate_ensemble.py:490-614).
+        if args.scope == "global" and args.operation in ("confusion", "difference"):
+            # Global heterogeneous paths: per-fold global-ensemble
+            # confusion matrices (reference evaluate_ensemble.py:783-851)
+            # and (global-ensemble CM − individual member CM) heatmaps
+            # (reference evaluate_ensemble.py:490-614).
             from ..ensemble.evaluate import global_evaluate_ensembles
 
             if args.models:
@@ -396,15 +431,37 @@ def main(argv=None) -> int:
             else:
                 providers = {config.subfolder_name(): provider}
             gres = global_evaluate_ensembles(providers, config.folds_number)
-            for f in gres.folds:
-                first = next(iter(providers.values()))(f.test_index, "test")
-                ens_cm = row_normalize(
-                    confusion_matrix(
-                        first["labels"], f.predictions, config.num_classes
+            if args.operation == "confusion":
+                first = next(iter(providers.values()))
+                cms = [
+                    row_normalize(
+                        confusion_matrix(
+                            first(f.test_index, "test")["labels"],
+                            f.predictions,
+                            config.num_classes,
+                        )
                     )
+                    for f in gres.folds
+                ]
+                path = render_confusion_grid_pdf(
+                    cms,
+                    os.path.join(
+                        layout.results_dir, "confusion_global_ensemble.pdf"
+                    ),
                 )
+                print(path)
+                return 0
+            for f in gres.folds:
+                ens_cm = None
                 for cfg_name, prov in providers.items():
                     d = prov(f.test_index, "test")
+                    if ens_cm is None:
+                        # labels are shared across configs (same test fold)
+                        ens_cm = row_normalize(
+                            confusion_matrix(
+                                d["labels"], f.predictions, config.num_classes
+                            )
+                        )
                     for i in range(d["probs"].shape[0]):
                         member_cm = row_normalize(
                             confusion_matrix(

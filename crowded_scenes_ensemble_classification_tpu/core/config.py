@@ -104,6 +104,13 @@ class ExperimentConfig:
     compute_dtype: str = "bfloat16"
     data_axis: str = "data"
     member_axis: str = "member"
+    # Pixel pre-scale applied to model inputs (1.0 = reference parity:
+    # raw 0-255 BGR floats, train.py:283-289; 1/255 stabilises scratch
+    # training).  Lives in the config so training and probability
+    # caching CANNOT silently disagree: cache_probabilities reads it
+    # from here, and the launch/train CLIs persist it with the rest of
+    # the experiment identity.
+    input_scale: float = 1.0
 
     def __post_init__(self):
         if self.model_type not in MODEL_TYPES:
@@ -191,8 +198,12 @@ class ExperimentConfig:
 
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "w") as f:
+        # atomic: concurrent member processes (2-process fan-out) may save
+        # the same config; readers must never see a torn file
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
             f.write(self.to_json())
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str) -> "ExperimentConfig":

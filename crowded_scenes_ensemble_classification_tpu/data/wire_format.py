@@ -20,6 +20,20 @@ batch feeds ops.augment.crowd11_augment_windowed_batch unchanged.
 Measured end-to-end (bench.py, v5e through the 0.033 GB/s axon tunnel):
 2.54 MB/clip on the wire vs 3.93 dense → 13.1 clips/s decode-inclusive,
 1.26× the north-star per-chip rate, cleanly transfer-bound.
+
+colorspace="yuv420" additionally ships 4:2:0 chroma-subsampled YUV
+(cv2's I420 layout, studio-swing BT.601 — the SAME representation the
+source mp4 stores and every hardware decoder emits; the reference's
+cv2.VideoCapture upconverts it to BGR at decode, train.py:257-269):
+1.5 bytes/px instead of 3 → half the wire bytes again.  The device
+undoes cv2's own conversion (nearest chroma upsample + BT.601
+studio-swing matrix, matched to cv2.COLOR_YUV2BGR_I420 within ±1 DN).
+Chroma of a 4:2:0 source survives the round-trip by construction; for
+content that was RGB at pack time this is the standard lossy-chroma
+video representation (PARITY.md).  Crop windows ship from an
+even-aligned superwindow (+2 px) so chroma blocks stay intact; the
+device re-derives the exact (y0, x0) from the same key splits and
+slices the requested window bit-exactly in Y.
 """
 
 from __future__ import annotations
@@ -32,6 +46,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.augment import CROP_MARGIN, augment_crop_decisions
+
+
+def _ship_dim(c: int, limit: int) -> int:
+    """Smallest even superwindow length that covers an even-aligned
+    origin shift (≤ 2+parity px) of a c-px window, clamped to the even
+    staging extent."""
+    return min(c + 2 + (c % 2), limit - (limit % 2))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,18 +68,41 @@ class WirePlan:
     crop_margin: int
     cap: int
     steps: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]
+    colorspace: str = "rgb"
 
     @property
-    def crop_hw(self) -> int:
-        return max(self.staging_hw[0] - self.crop_margin, 1)
+    def crop_hw(self) -> Tuple[int, int]:
+        """Per-axis crop window — (H−margin, W−margin), matching
+        ops.augment's win_h/win_w derivation for non-square staging."""
+        return (
+            max(self.staging_hw[0] - self.crop_margin, 1),
+            max(self.staging_hw[1] - self.crop_margin, 1),
+        )
+
+    @property
+    def crop_ship_hw(self) -> Tuple[int, int]:
+        """The window actually shipped.  rgb: the crop window itself.
+        yuv420: the even-aligned superwindow containing it (even origin +
+        even dims keep every 2×2 chroma block intact)."""
+        ch, cw = self.crop_hw
+        if self.colorspace == "rgb":
+            return (ch, cw)
+        return (
+            _ship_dim(ch, self.staging_hw[0]),
+            _ship_dim(cw, self.staging_hw[1]),
+        )
 
     @property
     def crop_bytes(self) -> int:
-        return self.frames * self.crop_hw * self.crop_hw * 3
+        sh, sw = self.crop_ship_hw
+        if self.colorspace == "rgb":
+            return self.frames * sh * sw * 3
+        return self.frames * sh * sw * 3 // 2
 
     @property
     def full_bytes(self) -> int:
-        return self.frames * self.out_hw[0] * self.out_hw[1] * 3
+        px = self.frames * self.out_hw[0] * self.out_hw[1]
+        return px * 3 if self.colorspace == "rgb" else px * 3 // 2
 
 
 def plan_wire_steps(
@@ -70,14 +114,36 @@ def plan_wire_steps(
     out_hw: Tuple[int, int],
     p: float = 0.75,
     crop_margin: int = CROP_MARGIN,
+    colorspace: str = "rgb",
 ) -> WirePlan:
     """Precompute every step's decisions/offsets (pure key math on the
     host CPU backend) and the exact max wire size."""
-    ch = max(staging_hw[0] - crop_margin, 1)
-    crop_bytes = frames * ch * ch * 3
-    full_bytes = frames * out_hw[0] * out_hw[1] * 3
+    if colorspace not in ("rgb", "yuv420"):
+        raise ValueError(f"unknown wire colorspace {colorspace!r}")
+    if colorspace == "yuv420":
+        if any(d % 2 for d in (*staging_hw, *out_hw)):
+            raise ValueError(
+                "yuv420 wire requires even staging/output dims, got "
+                f"staging={staging_hw} out={out_hw}"
+            )
+    plan = WirePlan(
+        batch_size=batch_size,
+        frames=frames,
+        staging_hw=staging_hw,
+        out_hw=out_hw,
+        p=p,
+        crop_margin=crop_margin,
+        cap=0,
+        steps={},
+        colorspace=colorspace,
+    )
+    crop_bytes = plan.crop_bytes
+    full_bytes = plan.full_bytes
     steps = {}
-    cap = 0
+    # Floor at full_bytes: the device unpack dynamic-slices a full-size
+    # window at every offset, so an all-crop plan (small batches / high p)
+    # must still leave room for one full slice.
+    cap = full_bytes
     for s in range(num_steps):
         do_crop, y0, x0 = augment_crop_decisions(
             key, batch_size, staging_hw, p=p, crop_margin=crop_margin,
@@ -87,15 +153,25 @@ def plan_wire_steps(
         offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
         steps[s] = (do_crop, y0, x0, offsets)
         cap = max(cap, int(sizes.sum()))
-    return WirePlan(
-        batch_size=batch_size,
-        frames=frames,
-        staging_hw=staging_hw,
-        out_hw=out_hw,
-        p=p,
-        crop_margin=crop_margin,
-        cap=cap,
-        steps=steps,
+    return dataclasses.replace(plan, cap=cap, steps=steps)
+
+
+def _even_origin(o: int, ship: int, limit: int) -> int:
+    """Even-aligned superwindow origin covering [o, o+window) — the same
+    arithmetic the device unpack re-derives (keep in lockstep)."""
+    return min(o - (o % 2), limit - ship)
+
+
+def bgr_clip_to_i420(clip_u8: np.ndarray) -> np.ndarray:
+    """u8 (T, H, W, 3) BGR → flat u8 I420 bytes (T · H·W·3/2,) via cv2 —
+    the exact forward conversion the device inverse is matched to."""
+    import cv2
+
+    return np.concatenate(
+        [
+            cv2.cvtColor(np.ascontiguousarray(f), cv2.COLOR_BGR2YUV_I420).ravel()
+            for f in clip_u8
+        ]
     )
 
 
@@ -105,31 +181,65 @@ def pack_ragged_windows(
     staging: np.ndarray,
     eval_u8: np.ndarray,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Host-side ragged pack — pure indexing.  `staging` holds the
+    """Host-side ragged pack — pure indexing (rgb) or indexing + the
+    decoder's native I420 representation (yuv420).  `staging` holds the
     cropped clips' staging frames in decision order (only those clips);
     `eval_u8` the uncropped clips' decode-time resizes (only those).
     Returns (wire (cap,) u8, offsets (B,) i32)."""
     do_crop, y0, x0, offsets = plan.steps[step]
-    ch = plan.crop_hw
+    yuv = plan.colorspace == "yuv420"
+    sh, sw = plan.crop_ship_hw
+    hh, ww = plan.staging_hw
     wire = np.zeros(plan.cap, np.uint8)
     crop_pos = np.nonzero(do_crop)[0]
     full_pos = np.nonzero(~do_crop)[0]
     for j, i in enumerate(crop_pos):
-        window = staging[j, :, y0[i] : y0[i] + ch, x0[i] : x0[i] + ch]
         o = offsets[i]
-        wire[o : o + plan.crop_bytes] = window.ravel()
+        if yuv:
+            ye = _even_origin(int(y0[i]), sh, hh)
+            xe = _even_origin(int(x0[i]), sw, ww)
+            window = staging[j, :, ye : ye + sh, xe : xe + sw]
+            wire[o : o + plan.crop_bytes] = bgr_clip_to_i420(window)
+        else:
+            window = staging[j, :, y0[i] : y0[i] + sh, x0[i] : x0[i] + sw]
+            wire[o : o + plan.crop_bytes] = window.ravel()
     for j, i in enumerate(full_pos):
         o = offsets[i]
-        wire[o : o + plan.full_bytes] = eval_u8[j].ravel()
+        payload = bgr_clip_to_i420(eval_u8[j]) if yuv else eval_u8[j].ravel()
+        wire[o : o + plan.full_bytes] = payload
     return wire, offsets
+
+
+def i420_to_bgr_u8(flat_u8: jax.Array, frames: int, h: int, w: int) -> jax.Array:
+    """Device inverse of cv2.COLOR_YUV2BGR_I420: flat I420 bytes →
+    u8 (frames, h, w, 3) BGR.  Nearest (2×2 replication) chroma upsample
+    + studio-swing BT.601 — matched to cv2 within ±1 DN (cv2 evaluates
+    the same matrix in Q20 fixed point; we round the float form)."""
+    fr = flat_u8.reshape(frames, h * 3 // 2, w).astype(jnp.float32)
+    y = fr[:, :h, :]
+    chroma = fr[:, h:, :].reshape(frames, 2, h // 2, w // 2)
+    up = jnp.repeat(jnp.repeat(chroma, 2, axis=-2), 2, axis=-1)
+    u = up[:, 0] - 128.0
+    v = up[:, 1] - 128.0
+    # 1220542/2^20 = cv2's ITUR_BT_601_CY; cv2 clamps (Y-16) at 0 BEFORE
+    # scaling (sub-black Y never drives the matrix negative)
+    yy = 1.1640625 * jnp.maximum(y - 16.0, 0.0)
+    b = yy + 2.0178222656 * u
+    g = yy - 0.3909912109 * u - 0.8129882812 * v
+    r = yy + 1.5959472656 * v
+    bgr = jnp.stack([b, g, r], axis=-1)
+    return jnp.clip(jnp.round(bgr), 0.0, 255.0).astype(jnp.uint8)
 
 
 def make_wire_unpack(plan: WirePlan):
     """Returns a jit-friendly fn(wire_u8, offsets, step_key) →
     (B, T, out_h, out_w, 3) u8 padded window batch (the input
-    crowd11_augment_windowed_batch expects).  Gates are re-derived from
-    step_key with the same splits as the host plan."""
-    ch = plan.crop_hw
+    crowd11_augment_windowed_batch expects).  Gates (and, for yuv420,
+    the crop origins) are re-derived from step_key with the same splits
+    as the host plan."""
+    ch, cw = plan.crop_hw
+    sh, sw = plan.crop_ship_hw
+    hh, ww = plan.staging_hw
     frames = plan.frames
     oh, ow = plan.out_hw
     crop_bytes = plan.crop_bytes
@@ -137,24 +247,40 @@ def make_wire_unpack(plan: WirePlan):
     cap = plan.cap
     p = plan.p
     batch_size = plan.batch_size
+    yuv = plan.colorspace == "yuv420"
 
     def unpack(wire_u8, offsets, step_key):
         clip_keys = jax.random.split(step_key, batch_size)
 
         def one(args):
             off, k = args
-            gate = jax.random.bernoulli(
-                jax.random.split(k, 7)[0], p
-            )  # k_crop_gate — same derivation as crowd11_augment
+            # same derivation as crowd11_augment / augment_crop_decisions
+            k_crop_gate, k_crop_pos = jax.random.split(k, 7)[:2]
+            gate = jax.random.bernoulli(k_crop_gate, p)
             crop_flat = jax.lax.dynamic_slice(wire_u8, (off,), (crop_bytes,))
             crop_img = jnp.zeros((frames, oh, ow, 3), jnp.uint8)
+            if yuv:
+                ky, kx = jax.random.split(k_crop_pos)
+                y0 = jax.random.randint(ky, (), 0, hh - ch + 1)
+                x0 = jax.random.randint(kx, (), 0, ww - cw + 1)
+                dy = y0 - jnp.minimum(y0 - y0 % 2, hh - sh)
+                dx = x0 - jnp.minimum(x0 - x0 % 2, ww - sw)
+                super_img = i420_to_bgr_u8(crop_flat, frames, sh, sw)
+                window = jax.lax.dynamic_slice(
+                    super_img, (0, dy, dx, 0), (frames, ch, cw, 3)
+                )
+            else:
+                window = crop_flat.reshape(frames, ch, cw, 3)
             crop_img = jax.lax.dynamic_update_slice(
-                crop_img, crop_flat.reshape(frames, ch, ch, 3), (0, 0, 0, 0)
+                crop_img, window, (0, 0, 0, 0)
             )
             full_off = jnp.minimum(off, cap - full_bytes)
-            full_img = jax.lax.dynamic_slice(
-                wire_u8, (full_off,), (full_bytes,)
-            ).reshape(frames, oh, ow, 3)
+            full_flat = jax.lax.dynamic_slice(wire_u8, (full_off,), (full_bytes,))
+            full_img = (
+                i420_to_bgr_u8(full_flat, frames, oh, ow)
+                if yuv
+                else full_flat.reshape(frames, oh, ow, 3)
+            )
             return jnp.where(gate, crop_img, full_img)
 
         return jax.lax.map(one, (offsets, clip_keys))

@@ -46,11 +46,17 @@ def make_member_forward(
     flow_fast_warp: bool = False,
     flow_params: Optional[dict] = None,
     share_stem_staging: bool = False,
+    input_scale: float = 1.0,
 ):
     """Returns fn(stacked_vars, batch) → (M, B, C) softmax probabilities.
 
     flow_params forwards extra kwargs to farneback_flow_pair — e.g.
     `flow.farneback.TURBO_PARAMS` for the EPE-gated adaptive schedule.
+
+    input_scale mirrors train.engine._preprocess exactly: rgb (and
+    precomputed TVL1 flow, which is 0-255 imagery) are scaled; on-device
+    Farnebäck flow is NOT (it is displacement, not pixels).  Members
+    must be evaluated at the scale they trained with.
 
     share_stem_staging=True (I3D / TWOSTREAM_I3D): the stem's
     space-to-depth staging (models.common.s2d_stem_stage) is computed ONCE
@@ -66,11 +72,15 @@ def make_member_forward(
         prestaged_module = bundle.module.clone(stem_prestaged=True)
 
     def forward(stacked_vars, batch):
-        inputs = {"rgb": identity_resize_batch(batch["rgb"].astype(jnp.float32), out_hw)}
+        inputs = {
+            "rgb": identity_resize_batch(batch["rgb"].astype(jnp.float32), out_hw)
+            * input_scale
+        }
         if two_stream:
             if "flow" in batch:
-                inputs["flow"] = identity_resize_batch(
-                    batch["flow"].astype(jnp.float32), out_hw
+                inputs["flow"] = (
+                    identity_resize_batch(batch["flow"].astype(jnp.float32), out_hw)
+                    * input_scale
                 )
             else:
                 # on-device Farneback from staged gray pairs (see
@@ -166,6 +176,7 @@ def get_member_forward(
             kwargs.get("flow_fast_warp", False),
             tuple(sorted(fp.items())) if fp else None,
             kwargs.get("share_stem_staging", False),
+            float(kwargs.get("input_scale", 1.0)),
         )
         if key not in cache:
             cache[key] = make_member_forward(bundle, out_hw, mesh, **kwargs)
@@ -179,10 +190,12 @@ def member_probabilities(
     variables_list: Sequence[Dict],
     pipeline,
     mesh: Optional[Mesh] = None,
+    input_scale: float = 1.0,
 ) -> np.ndarray:
     """Run every member over the whole pipeline → (M, N, C) float32, in
     dataset order (the probability-store tensor; reference
-    store_probabilities evaluate_ensemble.py:1002-1109)."""
+    store_probabilities evaluate_ensemble.py:1002-1109).  input_scale must
+    be the scale the members trained with (see make_member_forward)."""
     out_hw = (bundle.clip.height, bundle.clip.width)
     stacked = stack_variables(variables_list)
     # I3D-family: compute the s2d stem staging once per batch, shared by
@@ -193,10 +206,13 @@ def member_probabilities(
     ):
         stacked = shard_stacked(stacked, mesh)
         forward = get_member_forward(
-            bundle, out_hw, mesh, share_stem_staging=share
+            bundle, out_hw, mesh, share_stem_staging=share,
+            input_scale=input_scale,
         )
     else:
-        forward = get_member_forward(bundle, out_hw, share_stem_staging=share)
+        forward = get_member_forward(
+            bundle, out_hw, share_stem_staging=share, input_scale=input_scale
+        )
 
     from ..data.pipeline import prefetch_batches
 

@@ -18,11 +18,20 @@ import pandas as pd
 
 
 def probability_cache_path(
-    cache_dir: str, ensemble_name: str, test_index: int, subset: str
+    cache_dir: str,
+    ensemble_name: str,
+    test_index: int,
+    subset: str,
+    variant: str = "",
 ) -> str:
-    """subset ∈ {'test', 'train_val'} (reference evaluate_ensemble.py:1722)."""
+    """subset ∈ {'test', 'train_val'} (reference evaluate_ensemble.py:1722).
+
+    variant distinguishes alternative inference modes over the same
+    (ensemble, fold, subset) — e.g. '_long80s8' for long-video window
+    scans — so they never collide with the standard-window cache."""
     return os.path.join(
-        cache_dir, f"{ensemble_name}_test{test_index}_{subset}_probabilities.npz"
+        cache_dir,
+        f"{ensemble_name}_test{test_index}_{subset}{variant}_probabilities.npz",
     )
 
 

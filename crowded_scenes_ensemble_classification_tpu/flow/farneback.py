@@ -65,6 +65,9 @@ REFERENCE_PARAMS = dict(
 TURBO_PARAMS = dict(
     fast_warp=True, fine_iterations=1, fine_max_disp=4, fine_levels=3
 )
+# NOTE: with fine_iterations=1 only the i=0 (exact, full-range) warp of
+# the residual loop runs, so fine_max_disp is inert in this preset — it
+# takes effect when callers raise fine_iterations ≥ 2.
 
 # Memory-bounding chunk for farneback_flow_batch in the clip pipelines:
 # 80 pairs ≈ 4 GB of pyramid intermediates at 224² and the measured
@@ -227,11 +230,14 @@ def farneback_flow_pair(
     grows linearly in the y shift-accumulate).
 
     fine_iterations / fine_max_disp (TURBO_PARAMS) override the schedule
-    at the `fine_levels` finest pyramid levels: there the coarse-level
-    estimate is already close, so 2 refinement passes with a ±4 px
-    residual bound match the full schedule within the EPE suite bounds
-    while skipping most of the work at the resolutions that dominate cost
-    (level 0 alone is ~75% of the pixels)."""
+    at the `fine_levels` finest pyramid levels (the coarsest level always
+    keeps the full schedule, even when build_pyramid truncates on small
+    inputs): there the coarse-level estimate is already close, so a
+    single residual pass (r = 0, exact; fine_max_disp bounds the extra
+    passes when fine_iterations ≥ 2) matches the full schedule within
+    the EPE suite bounds while skipping most of the work at the
+    resolutions that dominate cost (level 0 alone is ~75% of the
+    pixels)."""
     kernels, Ginv = _poly_exp_setup(poly_n, poly_sigma)
     win = box_kernel(winsize)
 
@@ -246,12 +252,18 @@ def farneback_flow_pair(
     pyr_curr = build_pyramid(curr.astype(jnp.float32), levels)
 
     flow = jnp.zeros(pyr_prev[-1].shape + (2,), jnp.float32)
+    # The coarsest level ALWAYS runs the full schedule: the fine-level
+    # residual refinement assumes an incoming estimate from above, and a
+    # truncated pyramid (build_pyramid stops at min_size — small inputs
+    # yield < fine_levels+1 levels) must not demote every level to the
+    # single-pass schedule starting from zero flow.
+    n_fine = min(fine_levels, len(pyr_prev) - 1)
     for lvl in range(len(pyr_prev) - 1, -1, -1):
         p, c = pyr_prev[lvl], pyr_curr[lvl]
         if flow.shape[:2] != p.shape:
             flow = upsample_flow(flow, p.shape)
         p1 = _poly_exp_planes(p, kernels, Ginv)
-        fine = lvl < fine_levels and (fine_iterations or fine_max_disp)
+        fine = lvl < n_fine and (fine_iterations or fine_max_disp)
         if fine:
             # Residual refinement: ONE full-range warp with the incoming
             # coarse estimate, then cheap small-range warps of the

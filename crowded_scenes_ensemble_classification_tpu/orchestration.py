@@ -88,6 +88,14 @@ class WorkLayout:
     def split_csv(self, t: int, v: int, name: str) -> str:
         return os.path.join(self.splits_dir, split_dir_name(t, v), f"{name}.csv")
 
+    def experiment_json(self, config: ExperimentConfig) -> str:
+        """Per-config saved ExperimentConfig (one per subfolder, so a work
+        dir hosting several architectures keeps each config's TPU knobs —
+        notably input_scale — recoverable by later probs/ensemble runs)."""
+        return os.path.join(
+            self.models_dir, config.subfolder_name(), "experiment.json"
+        )
+
 
 def prepare_ensemble(
     config: ExperimentConfig,
@@ -139,6 +147,7 @@ def prepare_ensemble(
             save=False,
         )
     manifest.save()
+    config.save(layout.experiment_json(config))
     return layout
 
 
@@ -182,7 +191,7 @@ def train_member(
     mesh=None,
     epochs: Optional[int] = None,
     seed: int = 0,
-    input_scale: float = 1.0,
+    input_scale: Optional[float] = None,
     bundle: Optional[ModelBundle] = None,
     initial_variables: Optional[Dict] = None,
     verbose: bool = False,
@@ -200,7 +209,12 @@ def train_member(
 
     train_step/eval_step: prebuilt jitted steps shared across members
     (see launch_ensemble_training — one compile instead of one per
-    member); must match `optimizer`."""
+    member); must match `optimizer`.
+
+    input_scale=None reads config.input_scale (an explicit argument
+    overrides it for this call only)."""
+    if input_scale is None:
+        input_scale = config.input_scale
     if bundle is None and config.training_condition == "_PRETRAINED" and (
         initial_variables is None
     ):
@@ -285,9 +299,13 @@ def member_cli_commands(
             f" --augmentation-status {config.augmentation_status}"
             f" --optical-flow-status {config.optical_flow_status}"
             f" --classes-status {config.classes_status}"
+            f" --augmentation-frequency {config.augmentation_frequency}"
+            f" --num-classes {config.num_classes}"
             f" --batch-size {config.batch_size}"
             f" --epochs {config.epochs}"
         )
+        if config.input_scale != 1.0:
+            cmd += f" --input-scale {config.input_scale}"
         if rgb_h5:
             cmd += f" --rgb-h5 {rgb_h5}"
         if flow_h5:
@@ -334,7 +352,9 @@ def launch_ensemble_training(
 
         bundle = build_model(config.model_type, config.num_classes)
         out_hw = (bundle.clip.height, bundle.clip.width)
-        input_scale = member_kwargs.get("input_scale", 1.0)
+        input_scale = member_kwargs.get("input_scale")
+        if input_scale is None:
+            input_scale = config.input_scale
         tx = member_kwargs.get("optimizer") or make_optimizer(
             config.model_type, lr_policy_for(config.model_type).initial_lr
         )
@@ -411,6 +431,7 @@ def cache_probabilities(
     long_video: bool = False,
     window_stride: Optional[int] = None,
     long_frames: Optional[int] = None,
+    input_scale: Optional[float] = None,
 ) -> str:
     """(M, N, C) member probabilities for one test fold → npz cache
     (reference store_probabilities; subset='train_val' concatenates train and
@@ -420,26 +441,35 @@ def cache_probabilities(
     model window) and scans `window_stride`-strided model windows with
     on-device score averaging (parallel.streaming) instead of collapsing
     the video to one subsampled window (the reference's select_frames
-    limitation, train.py:132-145).  RGB pipelines only."""
+    limitation, train.py:132-145).  RGB pipelines only.  Long-video
+    caches live at their own npz path (`…_long{T}s{stride}`), so a
+    standard-window cache is never silently returned for a long-video
+    request (or vice versa).
+
+    input_scale=None reads config.input_scale — the SAME scale the
+    members trained with (train_member), so cached softmax can't be
+    computed on differently-scaled inputs."""
+    if input_scale is None:
+        input_scale = config.input_scale
     bundle = bundle or build_model(config.model_type, config.num_classes)
+    variant = ""
+    if long_video:
+        if config.is_two_stream:
+            raise ValueError("long-video probability caching is RGB-only")
+        long_frames = long_frames or 4 * config.clip.frames
+        window_stride = window_stride or max(config.clip.frames // 2, 1)
+        variant = f"_long{long_frames}s{window_stride}"
     path = probability_cache_path(
-        layout.probs_dir, config.subfolder_name(), t, subset
+        layout.probs_dir, config.subfolder_name(), t, subset, variant=variant
     )
     if probabilities_exist(path) and not recompute:
         return path
-
-    if long_video and config.is_two_stream:
-        raise ValueError("long-video probability caching is RGB-only")
 
     variables, names = _member_variables(config, layout, bundle, t)
     # any val index works for reading the split CSVs of this test fold
     v0 = member_val_indices(config.folds_number, t)[0]
     spec = SampleSpec(
-        num_frames=(
-            (long_frames or 4 * config.clip.frames)
-            if long_video
-            else config.clip.frames
-        ),
+        num_frames=(long_frames if long_video else config.clip.frames),
         staging_hw=staging_hw,
         two_stream=config.is_two_stream,
         flow_precomputed=(config.optical_flow_status == "TVL1_precomputed"),
@@ -466,10 +496,13 @@ def cache_probabilities(
         )
 
         probs = streaming_member_probabilities_over_pipeline(
-            bundle, variables, pipe, stride=window_stride
+            bundle, variables, pipe, stride=window_stride,
+            input_scale=input_scale,
         )
     else:
-        probs = member_probabilities(bundle, variables, pipe, mesh=mesh)
+        probs = member_probabilities(
+            bundle, variables, pipe, mesh=mesh, input_scale=input_scale
+        )
     labels = df["class"].astype(int).values
     save_probabilities(path, probs, labels, names)
     return path
@@ -563,12 +596,22 @@ def global_prob_providers(
     **kwargs,
 ) -> Dict[str, Callable]:
     """Named ProbProviders for global/combination evaluation over multiple
-    architecture configs sharing one workspace."""
+    architecture configs sharing one workspace.  Each config picks up the
+    input_scale its members trained with (the per-subfolder
+    experiment.json persisted by prepare_ensemble) when one exists."""
     layout = WorkLayout(work_dir)
     configs = parse_global_model_specs(specs, folds_number, num_classes)
+    resolved = {}
+    for name, cfg in configs.items():
+        saved = layout.experiment_json(cfg)
+        if os.path.exists(saved):
+            cfg = dataclasses.replace(
+                cfg, input_scale=ExperimentConfig.load(saved).input_scale
+            )
+        resolved[name] = cfg
     return {
         name: make_prob_provider(cfg, layout, mesh=mesh, **kwargs)
-        for name, cfg in configs.items()
+        for name, cfg in resolved.items()
     }
 
 

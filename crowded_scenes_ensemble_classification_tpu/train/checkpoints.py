@@ -127,10 +127,22 @@ def best_exists(checkpoint_dir: str) -> bool:
     ) or os.path.exists(_best_msgpack(checkpoint_dir))
 
 
+def _msgpack_wins(mp_path: str, orbax_path: str) -> bool:
+    """True when the msgpack copy should be restored.  When BOTH formats
+    exist (a dir trained single-process, then re-trained under the
+    multi-process fan-out, or vice versa) the NEWER save wins — format
+    preference alone would silently resurrect stale weights."""
+    if not os.path.exists(mp_path):
+        return False
+    if not os.path.exists(orbax_path):
+        return True
+    return os.path.getmtime(mp_path) >= os.path.getmtime(orbax_path)
+
+
 def restore_best(checkpoint_dir: str, target: Optional[Dict] = None) -> Dict:
     mp_path = _best_msgpack(checkpoint_dir)
     orbax_path = os.path.join(_abs(checkpoint_dir), "best")
-    if os.path.exists(mp_path) and not os.path.exists(orbax_path):
+    if _msgpack_wins(mp_path, orbax_path):
         with open(mp_path, "rb") as f:
             return _from_msgpack_bytes(f.read(), target)
     ckptr = _ckptr()
@@ -171,7 +183,7 @@ def full_exists(checkpoint_dir: str) -> bool:
 def restore_full(checkpoint_dir: str, target: Any) -> Any:
     mp_path = _full_msgpack(checkpoint_dir)
     orbax_path = os.path.join(_abs(checkpoint_dir), "full")
-    if os.path.exists(mp_path) and not os.path.exists(orbax_path):
+    if _msgpack_wins(mp_path, orbax_path):
         with open(mp_path, "rb") as f:
             return _from_msgpack_bytes(f.read(), target)
     return _ckptr().restore(orbax_path, target=target)

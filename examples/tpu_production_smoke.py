@@ -49,14 +49,33 @@ assert rc == 0
 print(f"[{time.time()-t0:.0f}s] ensemble evaluate ok — TPU production smoke PASSED")
 
 # ---- round-3: long-video window-scan probabilities on-chip -----------
-# Reuse fold-0's trained members; clear its cache so the CLI recomputes
-# through the streaming window-scan path (probs --long-video).
-import glob
-
-for f in glob.glob(os.path.join(work, "Probabilities", "*test0*.npz")):
-    os.remove(f)
+# Reuse fold-0's trained members; long-video caches live at their own
+# npz path (…_long{T}s{stride}), so no cache clearing is needed.
 rc = cli(["probs", "-mt", "C3D", "-fn", "3", "--work-dir", work,
           "--test-index", "0", "--long-video", "--window-stride", "8",
           "--long-frames", "40"])
 assert rc == 0
 print(f"[{time.time()-t0:.0f}s] long-video probs ok — round-3 smoke PASSED")
+
+# ---- round-3b: TwoStream on-chip (on-device Farnebäck flow) ----------
+# The flow-inclusive production path end-to-end on the real chip: launch
+# trains the k·(k−1)=6 TWOSTREAM_I3D members with FarneBack_onTheFly
+# (the engine computes flow on device from staged gray pairs via the
+# elementwise turbo solver), probs caches their softmax, SUM fusion
+# evaluates.
+work_ts = os.path.join(root, "work_ts")
+rc = cli([
+    "launch", "-mt", "TWOSTREAM_I3D", "-fn", "3", "--work-dir", work_ts,
+    "-df", data, "--epochs", "1", "-bs", "4", "--input-scale", "0.00392",
+])
+assert rc == 0
+print(f"[{time.time()-t0:.0f}s] twostream launch/train ok")
+
+rc = cli(["probs", "-mt", "TWOSTREAM_I3D", "-fn", "3", "--work-dir", work_ts])
+assert rc == 0
+print(f"[{time.time()-t0:.0f}s] twostream probs ok")
+
+rc = cli(["ensemble", "-mt", "TWOSTREAM_I3D", "-fn", "3", "--work-dir",
+          work_ts, "--operation", "evaluate", "-wt", "SUM"])
+assert rc == 0
+print(f"[{time.time()-t0:.0f}s] twostream ensemble ok — round-3b smoke PASSED")

@@ -193,6 +193,18 @@ def test_ensemble_and_report_cli_from_cached_probs(tmp_path, capsys):
     assert len(paths) == 6 and all(os.path.exists(p) for p in paths)
     assert all("difference_global_" in p for p in paths)
 
+    # global-ensemble confusion matrices (reference Global path,
+    # evaluate_ensemble.py:783-851)
+    rc = main([
+        "report", "--work-dir", work, "-mt", "C3D", "-fn", "3",
+        "--num-classes", "3", "--operation", "confusion",
+        "--scope", "global",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip()
+    assert out.endswith("confusion_global_ensemble.pdf")
+    assert os.path.exists(out)
+
 
 def test_member_cli_commands_parse():
     """The sbatch-parity command list must round-trip through our own CLI
@@ -314,3 +326,40 @@ def test_probs_long_video_cli(tmp_path, capsys):
     d = load_probabilities(out)
     assert d["probs"].shape == (2, 4, 3)  # (members, long clips, classes)
     np.testing.assert_allclose(d["probs"].sum(-1), 1.0, atol=1e-4)
+
+
+def test_input_scale_resolution_from_saved_config(tmp_path):
+    """probs/ensemble/report recover the input_scale that launch/train
+    persisted for this config (WorkLayout.experiment_json); an explicit
+    --input-scale flag overrides it (regression: probability caching
+    silently ran at 1.0 for members trained at 1/255)."""
+    from crowded_scenes_ensemble_classification_tpu.cli.main import (
+        _config_from_args,
+        build_parser,
+    )
+    from crowded_scenes_ensemble_classification_tpu.core.config import (
+        ExperimentConfig,
+    )
+    from crowded_scenes_ensemble_classification_tpu.orchestration import WorkLayout
+
+    work = str(tmp_path / "work")
+    cfg = ExperimentConfig(model_type="C3D", folds_number=3, num_classes=3,
+                           input_scale=1 / 255.0)
+    saved = WorkLayout(work).experiment_json(cfg)
+    cfg.save(saved)
+
+    parser = build_parser()
+    base = ["probs", "--work-dir", work, "-mt", "C3D", "-fn", "3",
+            "--num-classes", "3"]
+    assert _config_from_args(parser.parse_args(base)).input_scale == (
+        pytest.approx(1 / 255.0)
+    )
+    # explicit flag wins
+    args = parser.parse_args(base + ["--input-scale", "1.0"])
+    assert _config_from_args(args).input_scale == 1.0
+    # a DIFFERENT config in the same work dir does not inherit it
+    other = parser.parse_args(
+        ["probs", "--work-dir", work, "-mt", "I3D", "-fn", "3",
+         "--num-classes", "3"]
+    )
+    assert _config_from_args(other).input_scale == 1.0

@@ -204,3 +204,276 @@ def test_ragged_wire_roundtrip():
             staging_all, eval_all, do_crop, y0, x0, (OUT, OUT), crop_margin=30
         )
         np.testing.assert_array_equal(got, want, err_msg=f"step {step}")
+
+
+def test_ragged_wire_all_crop_cap_floor():
+    """An all-crop plan (p=1 or an unlucky small batch) has cap <
+    B·full_bytes — the device unpack still dynamic-slices a FULL-size
+    window at every offset, so the capacity must be floored at
+    full_bytes (regression: negative `cap - full_bytes` broke tracing)."""
+    import jax
+    import jax.numpy as jnp
+
+    from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
+        make_wire_unpack,
+        pack_ragged_windows,
+        plan_wire_steps,
+    )
+    from crowded_scenes_ensemble_classification_tpu.ops.augment import (
+        decode_time_eval_resize_u8,
+        pack_windows_host,
+    )
+
+    B, T, STG, OUT = 1, 2, 80, 56
+    rng = np.random.default_rng(11)
+    staging_all = rng.integers(0, 255, (B, T, STG, STG, 3)).astype(np.uint8)
+    eval_all = np.stack(
+        [decode_time_eval_resize_u8(c, (OUT, OUT)) for c in staging_all]
+    )
+    key = jax.random.key(4)
+    plan = plan_wire_steps(
+        key, 3, B, T, (STG, STG), (OUT, OUT), p=1.0, crop_margin=30
+    )
+    assert all(plan.steps[s][0].all() for s in range(3))  # all-crop plan
+    assert plan.cap >= plan.full_bytes
+    for step in range(3):
+        do_crop, y0, x0, _ = plan.steps[step]
+        wire, off = pack_ragged_windows(
+            plan, step, staging_all[do_crop], eval_all[~do_crop]
+        )
+        got = np.asarray(
+            jax.jit(make_wire_unpack(plan))(
+                jnp.asarray(wire), jnp.asarray(off), jax.random.fold_in(key, step)
+            )
+        )
+        want = pack_windows_host(
+            staging_all, eval_all, do_crop, y0, x0, (OUT, OUT), crop_margin=30
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"step {step}")
+
+
+def test_ragged_wire_nonsquare_staging():
+    """Non-square staging: the wire format derives the crop window per
+    axis — (H−margin, W−margin) — exactly like ops.augment (regression:
+    staging_hw[0] was used for both axes, silently mis-slicing W)."""
+    import jax
+    import jax.numpy as jnp
+
+    from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
+        make_wire_unpack,
+        pack_ragged_windows,
+        plan_wire_steps,
+    )
+    from crowded_scenes_ensemble_classification_tpu.ops.augment import (
+        decode_time_eval_resize_u8,
+        pack_windows_host,
+    )
+
+    B, T = 5, 2
+    STG_H, STG_W = 80, 104  # crop windows 50 x 74
+    OUT = (56, 80)
+    rng = np.random.default_rng(12)
+    staging_all = rng.integers(0, 255, (B, T, STG_H, STG_W, 3)).astype(np.uint8)
+    eval_all = np.stack(
+        [decode_time_eval_resize_u8(c, OUT) for c in staging_all]
+    )
+    key = jax.random.key(21)
+    plan = plan_wire_steps(
+        key, 2, B, T, (STG_H, STG_W), OUT, p=0.6, crop_margin=30
+    )
+    assert plan.crop_hw == (50, 74)
+    for step in range(2):
+        do_crop, y0, x0, _ = plan.steps[step]
+        wire, off = pack_ragged_windows(
+            plan, step, staging_all[do_crop], eval_all[~do_crop]
+        )
+        got = np.asarray(
+            jax.jit(make_wire_unpack(plan))(
+                jnp.asarray(wire), jnp.asarray(off), jax.random.fold_in(key, step)
+            )
+        )
+        want = pack_windows_host(
+            staging_all, eval_all, do_crop, y0, x0, OUT, crop_margin=30
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"step {step}")
+
+
+def test_i420_device_inverse_matches_cv2():
+    """wire_format.i420_to_bgr_u8 undoes cv2's I420 encoding the way cv2
+    itself does (nearest chroma upsample + studio-swing BT.601): within
+    ±1 DN of cv2.COLOR_YUV2BGR_I420 on arbitrary I420 bytes (cv2 runs
+    the same matrix in Q20 fixed point; we round the float form)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
+        i420_to_bgr_u8,
+    )
+
+    T, H, W = 3, 24, 32
+    rng = np.random.default_rng(7)
+    flat = rng.integers(0, 256, (T * H * W * 3 // 2,)).astype(np.uint8)
+    got = np.asarray(i420_to_bgr_u8(jnp.asarray(flat), T, H, W)).astype(int)
+    per_frame = flat.reshape(T, H * 3 // 2, W)
+    want = np.stack(
+        [cv2.cvtColor(f, cv2.COLOR_YUV2BGR_I420) for f in per_frame]
+    ).astype(int)
+    assert np.abs(got - want).max() <= 1
+
+
+def test_ragged_wire_yuv420_roundtrip():
+    """yuv420 wire: half the bytes of the rgb wire, and the device unpack
+    reproduces exactly the cv2 I420 round-trip of every selected window
+    (crop windows sliced bit-aligned from the even-origin superwindow;
+    gates and origins re-derived from the same key) within the ±1 DN
+    fixed-point-vs-float margin."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
+        _even_origin,
+        make_wire_unpack,
+        pack_ragged_windows,
+        plan_wire_steps,
+    )
+    from crowded_scenes_ensemble_classification_tpu.ops.augment import (
+        decode_time_eval_resize_u8,
+    )
+
+    def cv2_roundtrip(clip):
+        return np.stack(
+            [
+                cv2.cvtColor(
+                    cv2.cvtColor(np.ascontiguousarray(f), cv2.COLOR_BGR2YUV_I420),
+                    cv2.COLOR_YUV2BGR_I420,
+                )
+                for f in clip
+            ]
+        )
+
+    B, T, STG, OUT = 6, 3, 80, 56  # margin 30 -> crop window 50x50 (even-odd mix)
+    rng = np.random.default_rng(5)
+    staging_all = rng.integers(0, 255, (B, T, STG, STG, 3)).astype(np.uint8)
+    eval_all = np.stack(
+        [decode_time_eval_resize_u8(c, (OUT, OUT)) for c in staging_all]
+    )
+    key = jax.random.key(17)
+    plan = plan_wire_steps(
+        key, 2, B, T, (STG, STG), (OUT, OUT), p=0.75, crop_margin=30,
+        colorspace="yuv420",
+    )
+    rgb_plan = plan_wire_steps(
+        key, 2, B, T, (STG, STG), (OUT, OUT), p=0.75, crop_margin=30,
+    )
+    # exactly half the per-clip payloads
+    assert plan.full_bytes * 2 == rgb_plan.full_bytes
+    assert plan.crop_bytes * 2 < rgb_plan.crop_bytes * 1.1  # +2px superwindow
+    ch, cw = plan.crop_hw
+    sh, sw = plan.crop_ship_hw
+    assert (sh % 2, sw % 2) == (0, 0) and sh >= ch and sw >= cw
+
+    for step in range(2):
+        do_crop, y0, x0, _ = plan.steps[step]
+        wire, off = pack_ragged_windows(
+            plan, step, staging_all[do_crop], eval_all[~do_crop]
+        )
+        got = np.asarray(
+            jax.jit(make_wire_unpack(plan))(
+                jnp.asarray(wire), jnp.asarray(off),
+                jax.random.fold_in(key, step),
+            )
+        ).astype(int)
+        for i in range(B):
+            if do_crop[i]:
+                j = int(np.nonzero(np.nonzero(do_crop)[0] == i)[0][0])
+                ye = _even_origin(int(y0[i]), sh, STG)
+                xe = _even_origin(int(x0[i]), sw, STG)
+                sup = cv2_roundtrip(
+                    staging_all[i, :, ye : ye + sh, xe : xe + sw]
+                )
+                dy, dx = int(y0[i]) - ye, int(x0[i]) - xe
+                want = np.zeros((T, OUT, OUT, 3), int)
+                want[:, :ch, :cw] = sup[:, dy : dy + ch, dx : dx + cw]
+            else:
+                want = cv2_roundtrip(eval_all[i]).astype(int)
+            assert np.abs(got[i] - want).max() <= 1, f"step {step} clip {i}"
+
+
+def test_ragged_wire_yuv420_smooth_content_quality():
+    """On smooth natural-video-like content (gradient texture + small
+    sensor noise — what real decoded frames look like), the yuv420 wire's
+    lossy chroma costs ≤ a few DN through the FULL windowed-augment
+    pipeline vs the rgb wire (salt/pepper replacements are key-identical
+    across both, so differences are purely chroma)."""
+    import jax
+    import jax.numpy as jnp
+
+    from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
+        make_wire_unpack,
+        pack_ragged_windows,
+        plan_wire_steps,
+    )
+    from crowded_scenes_ensemble_classification_tpu.ops.augment import (
+        crowd11_augment_windowed_batch,
+        decode_time_eval_resize_u8,
+    )
+
+    B, T, STG, OUT = 4, 2, 80, 56
+    rng = np.random.default_rng(13)
+    yy, xx = np.meshgrid(np.arange(STG), np.arange(STG), indexing="ij")
+    base = (
+        96
+        + 60 * np.sin(yy / 17.0)
+        + 50 * np.cos(xx / 23.0)
+    )[None, None, :, :, None]
+    clips = base + rng.normal(0, 3.0, (B, T, STG, STG, 3))
+    staging_all = np.clip(clips, 0, 255).astype(np.uint8)
+    eval_all = np.stack(
+        [decode_time_eval_resize_u8(c, (OUT, OUT)) for c in staging_all]
+    )
+    key = jax.random.key(3)
+    outs = {}
+    for cs in ("rgb", "yuv420"):
+        plan = plan_wire_steps(
+            key, 1, B, T, (STG, STG), (OUT, OUT), p=0.6, crop_margin=30,
+            colorspace=cs,
+        )
+        do_crop, _, _, _ = plan.steps[0]
+        wire, off = pack_ragged_windows(
+            plan, 0, staging_all[do_crop], eval_all[~do_crop]
+        )
+        step_key = jax.random.fold_in(key, 0)
+        buf = jax.jit(make_wire_unpack(plan))(
+            jnp.asarray(wire), jnp.asarray(off), step_key
+        )
+        outs[cs] = np.asarray(
+            crowd11_augment_windowed_batch(
+                buf.astype(jnp.float32), step_key, (OUT, OUT), (STG, STG),
+                p=0.6, crop_margin=30,
+            )
+        )
+    diff = np.abs(outs["rgb"] - outs["yuv420"])
+    # The max is set by the per-channel-INDEPENDENT ±3 DN noise: 4:2:0
+    # keeps one chroma sample per 2×2 block (top-left, cv2's own
+    # subsampling), so a ±6 DN chroma swing within a block reconstructs
+    # with ~2× matrix gain.  A real decoded frame's chroma is already
+    # 4:2:0 at the source, so this term vanishes in production; the mean
+    # (dominated by the smooth content) is the representative figure.
+    assert diff.max() <= 24.0
+    assert diff.mean() <= 2.5
+
+
+def test_ragged_wire_yuv420_rejects_odd_dims():
+    import jax
+    import pytest as _pytest
+
+    from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
+        plan_wire_steps,
+    )
+
+    with _pytest.raises(ValueError, match="even"):
+        plan_wire_steps(
+            jax.random.key(0), 1, 2, 2, (81, 80), (56, 56),
+            colorspace="yuv420",
+        )

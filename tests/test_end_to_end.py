@@ -217,3 +217,72 @@ def test_launch_local_shares_jitted_steps(tmp_path, monkeypatch):
     assert all(np.isfinite(r["test_loss"]) for r in results.values())
     assert calls["train"] == 1, calls
     assert calls["eval"] == 1, calls
+
+
+def test_cache_probabilities_input_scale_and_long_video_variant(tmp_path):
+    """cache_probabilities must (a) evaluate members at config.input_scale
+    — the scale they trained with (regression: it silently ran at 1.0) —
+    and (b) give long-video window scans their own cache path, never
+    returning a standard-window cache for a long-video request."""
+    from crowded_scenes_ensemble_classification_tpu.orchestration import (
+        WorkLayout,
+        cache_probabilities,
+    )
+    from crowded_scenes_ensemble_classification_tpu.train.checkpoints import (
+        save_best,
+    )
+
+    cfg = ExperimentConfig(
+        model_type="C3D", folds_number=3, num_classes=3, batch_size=2,
+        input_scale=1 / 255.0,
+    )
+    layout = WorkLayout(str(tmp_path / "work"))
+    bundle = tiny_bundle()
+
+    # 40-frame synthetic clips (> the 16-frame window) for fold 0
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    clip_dir = tmp_path / "clips"
+    clip_dir.mkdir()
+    rows = []
+    for i in range(4):
+        p = str(clip_dir / f"clip{i}.npy")
+        np.save(p, rng.integers(0, 255, (40, 32, 32, 3)).astype(np.uint8))
+        rows.append({"rgbclips_path": p, "x_axis_flowclips_path": "",
+                     "y_axis_flowclips_path": "", "class": i % 3})
+    csv_path = layout.split_csv(0, 1, "test")
+    os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+    for v in (1, 2):
+        save_best(layout.checkpoint_dir(cfg, 0, v),
+                  bundle.init(jax.random.key(v)))
+
+    # (a) config.input_scale drives the forward
+    path = cache_probabilities(
+        cfg, layout, 0, "test", bundle=bundle, staging_hw=(32, 32),
+        num_workers=2,
+    )
+    probs_scaled = load_probabilities(path)["probs"]
+    cache_probabilities(
+        cfg, layout, 0, "test", bundle=bundle, staging_hw=(32, 32),
+        num_workers=2, input_scale=1.0, recompute=True,
+    )
+    probs_raw = load_probabilities(path)["probs"]
+    assert probs_scaled.shape == probs_raw.shape == (2, 4, 3)
+    assert not np.allclose(probs_scaled, probs_raw, atol=1e-3)
+
+    # (b) long-video caches are variant-suffixed, standard cache untouched
+    long_path = cache_probabilities(
+        cfg, layout, 0, "test", bundle=bundle, staging_hw=(32, 32),
+        num_workers=2, long_video=True, window_stride=8, long_frames=40,
+    )
+    assert long_path != path and "_long40s8_" in os.path.basename(long_path)
+    d_long = load_probabilities(long_path)
+    assert d_long["probs"].shape == (2, 4, 3)
+    np.testing.assert_allclose(d_long["probs"].sum(-1), 1.0, atol=1e-4)
+    # cached: a second long-video call returns the same variant path
+    assert cache_probabilities(
+        cfg, layout, 0, "test", bundle=bundle, staging_hw=(32, 32),
+        long_video=True, window_stride=8, long_frames=40,
+    ) == long_path

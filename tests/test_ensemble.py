@@ -394,3 +394,53 @@ def test_member_forward_memoized_across_folds():
     probs = np.asarray(f1(stacked, {"rgb": x}))
     assert probs.shape == (2, 2, 3)
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+
+
+def test_member_forward_input_scale():
+    """make_member_forward(input_scale=s) must equal scaling the pixels
+    by s before an unscaled forward — members are evaluated at the scale
+    they trained with (train.engine._preprocess convention; regression:
+    probability caching ignored input_scale entirely)."""
+    from crowded_scenes_ensemble_classification_tpu.ensemble.members import (
+        make_member_forward,
+        member_probabilities,
+        stack_variables,
+    )
+
+    bundle = ModelBundle(
+        model_type="C3D",
+        module=C3D(num_classes=3, width=0.25),
+        clip=ClipSpec(frames=16, height=32, width=32),
+        num_classes=3,
+        two_stream=False,
+    )
+    keys = jax.random.split(jax.random.key(7), 2)
+    vars_list = [bundle.init(k) for k in keys]
+    stacked = stack_variables(vars_list)
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 255, (4, 16, 32, 32, 3)).astype(np.uint8)
+    scaled_fwd = make_member_forward(bundle, (32, 32), input_scale=1 / 255.0)
+    plain_fwd = make_member_forward(bundle, (32, 32))
+    a = np.asarray(scaled_fwd(stacked, {"rgb": jnp.asarray(rgb)}))
+    b = np.asarray(
+        plain_fwd(stacked, {"rgb": jnp.asarray(rgb, jnp.float32) / 255.0})
+    )
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # and a genuinely different result from the unscaled forward
+    c = np.asarray(plain_fwd(stacked, {"rgb": jnp.asarray(rgb)}))
+    assert not np.allclose(a, c, atol=1e-3)
+
+    class FakePipe:
+        def batches(self, epoch=0):
+            yield {
+                "rgb": rgb,
+                "label": np.zeros(4, np.int64),
+                "valid": np.ones(4, bool),
+                "index": np.arange(4),
+            }
+
+    probs = member_probabilities(
+        bundle, vars_list, FakePipe(), input_scale=1 / 255.0
+    )
+    np.testing.assert_allclose(probs, a, atol=1e-5)

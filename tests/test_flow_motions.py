@@ -436,3 +436,30 @@ def test_farneback_turbo_on_real_decoded_video(tmp_path, rng):
     inner = ours[MARGIN:-MARGIN, MARGIN:-MARGIN]
     assert abs(np.median(inner[..., 0]) - 1.5) < 0.5
     assert abs(np.median(inner[..., 1]) - 0.75) < 0.5
+
+
+def test_farneback_turbo_truncated_pyramid_coarse_budget(rng):
+    """Small inputs truncate the pyramid (build_pyramid min_size) to ≤
+    fine_levels+1 levels; the turbo schedule must still give the COARSEST
+    level its full iteration budget instead of demoting every level to
+    the single-pass refinement (regression: `lvl < fine_levels` gated
+    without clamping — EPE 0.19 vs 0.10 on this case)."""
+    from crowded_scenes_ensemble_classification_tpu.flow.farneback import (
+        TURBO_PARAMS,
+    )
+
+    size, pad = 96, 16  # 3 pyramid levels at min_size=16
+    dx, dy = 8.0, -3.0
+    big = textured(rng, size + 2 * pad, size + 2 * pad, blur=3.0)
+    M = np.float32([[1, 0, dx], [0, 1, dy]])
+    I0 = big[pad : pad + size, pad : pad + size]
+    I1 = cv2.warpAffine(big, M, (size + 2 * pad, size + 2 * pad))[
+        pad : pad + size, pad : pad + size
+    ]
+    flow = np.asarray(
+        farneback_flow_pair(jnp.asarray(I0), jnp.asarray(I1), **TURBO_PARAMS)
+    )
+    gt = np.stack(
+        [np.full((size, size), dx), np.full((size, size), dy)], -1
+    ).astype(np.float32)
+    assert epe(flow, gt) < 0.15, epe(flow, gt)

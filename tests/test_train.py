@@ -206,3 +206,32 @@ def test_lr_policy_table():
     r3d = lr_policy_for("R3D_18")
     # dead-branch reproduction: R3D uses the I3D plateau policy
     assert r3d.initial_lr == 1e-3 and r3d.plateau.patience == 0
+
+
+def test_restore_best_prefers_newest_format(tmp_path):
+    """When BOTH checkpoint formats exist in one dir (single-process orbax
+    run followed by a multi-process msgpack re-train, or vice versa), the
+    NEWER save must win — format preference alone would silently
+    resurrect stale weights (train.checkpoints._msgpack_wins)."""
+    from crowded_scenes_ensemble_classification_tpu.train import checkpoints as cp
+
+    ckpt = str(tmp_path / "ckpt")
+    template = {"params": {"w": jnp.zeros((3,), jnp.float32)}}
+    vars_a = {"params": {"w": jnp.full((3,), 1.0, jnp.float32)}}
+    vars_b = {"params": {"w": jnp.full((3,), 2.0, jnp.float32)}}
+
+    save_best(ckpt, vars_a)  # orbax (single-process path)
+    mp_path = cp._best_msgpack(ckpt)
+    cp._save_msgpack(mp_path, vars_b)  # simulate the multi-process writer
+
+    orbax_path = os.path.join(ckpt, "best")
+    # msgpack newer -> msgpack wins
+    os.utime(orbax_path, (1_000_000, 1_000_000))
+    os.utime(mp_path, (2_000_000, 2_000_000))
+    got = restore_best(ckpt, template)
+    np.testing.assert_array_equal(np.asarray(got["params"]["w"]), 2.0)
+
+    # orbax newer (e.g. a later single-process re-train) -> orbax wins
+    os.utime(orbax_path, (3_000_000, 3_000_000))
+    got = restore_best(ckpt, template)
+    np.testing.assert_array_equal(np.asarray(got["params"]["w"]), 1.0)
