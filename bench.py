@@ -17,10 +17,14 @@ ships exactly the bytes its decision needs — the (H−60)² crop window,
 or its decode-time u8 resize (the reference's own cv2-resize-on-uint8
 preprocessing, train.py:283-289) — concatenated into one buffer whose
 static size is the exact maximum over the bench's (fully key-determined)
-steps.  ~2.5 MB/clip on the wire instead of 3.9, with no reliance on
-transport compression; the device re-derives the gates and unpacks with
-static-size dynamic slices.  device_put runs inside the feeder thread
-with a bounded queue, so transfers overlap member compute.
+steps.  Clips ship in the mp4's own 4:2:0 chroma-subsampled I420 layout
+(data.wire_format colorspace="yuv420": 1.5 B/px; the device inverts
+cv2's YUV→BGR conversion within ±1 DN) — ~1.3 MB/clip on the wire
+instead of the dense 3.9, with no reliance on transport compression;
+the device re-derives the gates and unpacks with static-size dynamic
+slices.  device_put runs inside the feeder thread with a bounded queue,
+so transfers overlap member compute.  BENCH_WIRE=rgb selects the
+full-chroma ragged wire (~2.5 MB/clip) instead.
 
 Bench data has REAL decoded-video statistics: synthetic moving scenes
 (textured background + pan + sensor noise) are encoded to mp4 and decoded
@@ -62,10 +66,13 @@ NUM_MEMBERS = 4
 # reuse with this PJRT plugin — verified again round 3: a cached trivial
 # kernel still recompiled for 336 s), which risks the driver's bench
 # window.  Since round 3 the e2e number is transfer-bound anyway.
-BATCH = 96
+# BENCH_* env overrides exist so tests/test_bench_smoke.py can drive this
+# exact file (tiny sizes, CPU) — the driver's run uses the defaults.
+BATCH = int(os.environ.get("BENCH_BATCH", "96"))
 FRAMES, SIZE, STAGING = 20, 224, 256
-CACHE_BATCHES = 5  # clips resident in the on-disk cache
-EPOCHS = 2  # measured passes over the cache
+CACHE_BATCHES = int(os.environ.get("BENCH_CACHE_BATCHES", "5"))
+EPOCHS = int(os.environ.get("BENCH_EPOCHS", "2"))  # measured cache passes
+DEVICE_ITERS = int(os.environ.get("BENCH_DEVICE_ITERS", "20"))
 AUGMENT_P = 0.75
 
 # flow-stream breakout (north-star includes flow): modest sizes so the
@@ -78,6 +85,11 @@ FLOW_PAIRS = 76  # = 4 clips x 19 pairs, vmapped as the train path does
 # staging) → 77.46 (elementwise Farnebäck solver core; compile 169 s).
 TWOSTREAM_BATCH = 48
 TWOSTREAM_FLOW_CHUNK = 4
+
+# Wire colorspace: "yuv420" ships the mp4's own 4:2:0 representation
+# (half the bytes of full-chroma rgb — decisive through the ~0.03 GB/s
+# axon tunnel); BENCH_WIRE=rgb keeps the full-chroma ragged wire.
+WIRE_COLORSPACE = os.environ.get("BENCH_WIRE", "yuv420")
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
@@ -295,6 +307,13 @@ def _flow_breakouts(results: dict):
 def main():
     import jax
 
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        # smoke-test mode (tests/test_bench_smoke.py): the sitecustomize
+        # force-registers the axon TPU backend, so the platform must be
+        # pinned from inside the process — JAX_PLATFORMS alone is not
+        # honoured once the plugin is registered.
+        jax.config.update("jax_platforms", "cpu")
+
     # NOTE: deliberately NO persistent compile cache.  Diagnosed round 3:
     # the axon PJRT plugin does not reuse cached TPU executables across
     # processes (a trivial cached kernel recompiled for 336 s), and the
@@ -354,7 +373,7 @@ def main():
     total_steps = EPOCHS * CACHE_BATCHES
     plan = plan_wire_steps(
         key, total_steps, BATCH, FRAMES, (STAGING, STAGING), (SIZE, SIZE),
-        p=AUGMENT_P,
+        p=AUGMENT_P, colorspace=WIRE_COLORSPACE,
     )
     CAP = plan.cap
     unpack_fn = make_wire_unpack(plan)
@@ -431,7 +450,7 @@ def main():
     # ---- device-only pipeline rate (data resident) ----------------------
     # (step 0's wire layout reused; the step index still varies so every
     # dispatch is a distinct execution)
-    iters = 20
+    iters = DEVICE_ITERS
     carry = jnp.int32(0)
     t0 = time.perf_counter()
     for _i in range(iters):
@@ -483,6 +502,7 @@ def main():
         # diagnosis aids: raw wire bytes per clip and the rate the link
         # alone would sustain — if `value` ≈ this, the run is link-bound
         # (axon relay tunnel), not framework-bound.
+        "wire_colorspace": WIRE_COLORSPACE,
         "wire_mb_per_clip": round(first.nbytes / BATCH / 1e6, 2),
         "h2d_bound_clips_per_sec": round(
             h2d_gbps * 1e9 / (first.nbytes / BATCH), 2
@@ -496,16 +516,18 @@ def main():
 
     extra: dict = {}
     done = threading.Event()
-
-    def _breakouts():
-        _flow_breakouts(extra)
+    if os.environ.get("BENCH_SKIP_BREAKOUTS") == "1":
         done.set()
+    else:
+        def _breakouts():
+            _flow_breakouts(extra)
+            done.set()
 
-    th = threading.Thread(target=_breakouts, daemon=True)
-    th.start()
-    th.join(timeout=float(os.environ.get("BENCH_BREAKOUT_TIMEOUT_S", "2700")))
-    if done.is_set():
-        results.update(extra)
+        th = threading.Thread(target=_breakouts, daemon=True)
+        th.start()
+        th.join(timeout=float(os.environ.get("BENCH_BREAKOUT_TIMEOUT_S", "2700")))
+        if done.is_set():
+            results.update(extra)
     if "twostream_clips_per_sec" in results:
         # TwoStream e2e: the wire carries rgb only (flow is computed on
         # device from it), so the decode-inclusive rate is bounded by the
@@ -545,6 +567,7 @@ def main():
         ts_plan = plan_wire_steps(
             jax.random.key(11), ts_steps, tsb, FRAMES,
             (STAGING, STAGING), (SIZE, SIZE), p=AUGMENT_P,
+            colorspace=WIRE_COLORSPACE,
         )
         ts_unpack = make_wire_unpack(ts_plan)
         tkey = jax.random.key(12)

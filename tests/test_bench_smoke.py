@@ -1,0 +1,61 @@
+"""Driver-contract regression test for bench.py.
+
+bench.py is the one artifact the round driver runs sight-unseen on real
+TPU hardware; a silent breakage there costs the whole round's headline.
+This smoke drives the EXACT shipped file end-to-end (cache build → ragged
+yuv420 wire pack → device unpack → windowed augment → 4-member I3D →
+fusion) in a subprocess at tiny sizes on CPU and checks the driver
+contract: exactly ONE JSON line on stdout with the required fields.
+
+~3-4 min of XLA CPU compile dominates; the measured values are
+meaningless on CPU and are only checked for presence/positivity.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_driver_contract_smoke():
+    env = dict(
+        os.environ,
+        BENCH_FORCE_CPU="1",
+        BENCH_BATCH="2",
+        BENCH_CACHE_BATCHES="2",
+        BENCH_EPOCHS="1",
+        BENCH_DEVICE_ITERS="1",
+        BENCH_SKIP_BREAKOUTS="1",
+    )
+    env.pop("BENCH_TWOSTREAM_E2E", None)
+    # the conftest's platform pin must not leak into the subprocess
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "bench.py")],
+        capture_output=True,
+        text=True,
+        cwd=REPO_ROOT,
+        timeout=900,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"bench.py must print exactly ONE line: {lines}"
+    results = json.loads(lines[0])
+    assert results["metric"] == "e2e_ensemble_inference_clips_per_sec_per_chip"
+    for field in (
+        "value",
+        "vs_baseline",
+        "device_pipeline_clips_per_sec",
+        "host_read_clips_per_sec",
+        "h2d_gbps",
+        "wire_mb_per_clip",
+        "h2d_bound_clips_per_sec",
+    ):
+        assert results[field] > 0, (field, results)
+    assert "unit" in results
+    # the headline wire ships 4:2:0 — half the bytes of full-chroma rgb
+    assert results["wire_colorspace"] == "yuv420"
+    assert results["wire_mb_per_clip"] < 1.6
