@@ -304,8 +304,43 @@ def _flow_breakouts(results: dict):
         pass
 
 
+def _arm_global_watchdog(finished: threading.Event):
+    """If the device (axon relay) hangs, every float(carry) fetch blocks
+    forever and the driver would record NO bench line at all.  After the
+    budget, print a diagnostic JSON line and hard-exit so the failure mode
+    is 'value 0 with an error field', never silence."""
+    budget = float(os.environ.get("BENCH_GLOBAL_TIMEOUT_S", "7200"))
+
+    def _watch():
+        if finished.wait(timeout=budget):
+            return
+        import sys
+
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_ensemble_inference_clips_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "clips/s decode-inclusive",
+                    "vs_baseline": 0.0,
+                    "error": (
+                        f"global watchdog: device unresponsive for {budget:.0f}s "
+                        "(axon relay hang?) — no measurement completed"
+                    ),
+                }
+            )
+        )
+        sys.stdout.flush()
+        os._exit(1)
+
+    threading.Thread(target=_watch, daemon=True).start()
+
+
 def main():
     import jax
+
+    finished = threading.Event()
+    _arm_global_watchdog(finished)
 
     if os.environ.get("BENCH_FORCE_CPU") == "1":
         # smoke-test mode (tests/test_bench_smoke.py): the sitecustomize
@@ -646,6 +681,7 @@ def main():
         results["twostream_e2e_clips_per_sec"] = round(
             tsb * n_ts / (time.perf_counter() - t0), 2
         )
+    finished.set()
     print(json.dumps(results))
     if not done.is_set():
         sys.stdout.flush()
