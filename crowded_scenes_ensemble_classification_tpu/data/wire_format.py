@@ -156,6 +156,131 @@ def plan_wire_steps(
     return dataclasses.replace(plan, cap=cap, steps=steps)
 
 
+@dataclasses.dataclass(frozen=True)
+class ShardedWirePlan:
+    """Per-data-shard view of a global WirePlan: shard d owns the
+    contiguous clip range [d·B/n, (d+1)·B/n) of every step, each shard
+    gets its own ragged wire buffer (one static per-shard capacity =
+    exact max over shards AND steps), and the device unpacks each
+    shard's buffer locally under shard_map — no cross-device bytes."""
+
+    base: WirePlan
+    n_shards: int
+    cap: int  # per-shard wire capacity
+    steps: Dict[int, np.ndarray]  # step → (n_shards, B/n) int32 offsets
+
+    @property
+    def shard_batch(self) -> int:
+        return self.base.batch_size // self.n_shards
+
+    def shard_view(self, step: int, d: int) -> WirePlan:
+        """A WirePlan describing shard d of one step — lets the packer
+        reuse pack_ragged_windows verbatim per shard."""
+        do_crop, y0, x0, _ = self.base.steps[step]
+        bs = self.shard_batch
+        sl = slice(d * bs, (d + 1) * bs)
+        return dataclasses.replace(
+            self.base,
+            batch_size=bs,
+            cap=self.cap,
+            steps={step: (do_crop[sl], y0[sl], x0[sl], self.steps[step][d])},
+        )
+
+
+def shard_wire_plan(plan: WirePlan, n_shards: int) -> ShardedWirePlan:
+    """Split a global plan across n_shards data shards (batch_size must
+    divide evenly).  Decisions are unchanged — the same global clip keys
+    drive both the host pack and the device-side re-derivation."""
+    if plan.batch_size % n_shards:
+        raise ValueError(
+            f"batch_size {plan.batch_size} not divisible by {n_shards} shards"
+        )
+    bs = plan.batch_size // n_shards
+    crop_bytes, full_bytes = plan.crop_bytes, plan.full_bytes
+    cap = full_bytes
+    steps: Dict[int, np.ndarray] = {}
+    for s, (do_crop, _y0, _x0, _off) in plan.steps.items():
+        sizes = np.where(do_crop, crop_bytes, full_bytes).astype(np.int64)
+        per_shard = sizes.reshape(n_shards, bs)
+        offs = np.zeros((n_shards, bs), np.int32)
+        offs[:, 1:] = np.cumsum(per_shard, axis=1)[:, :-1]
+        steps[s] = offs
+        cap = max(cap, int(per_shard.sum(axis=1).max()))
+    return ShardedWirePlan(base=plan, n_shards=n_shards, cap=cap, steps=steps)
+
+
+def pack_sharded_wires(
+    splan: ShardedWirePlan,
+    step: int,
+    staging: np.ndarray,
+    eval_u8: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side pack of one step into per-shard wires.
+
+    `staging`/`eval_u8` hold the cropped/uncropped clips in GLOBAL
+    decision order (exactly as for pack_ragged_windows on the base plan).
+    Returns (wires (n_shards, cap) u8, offsets (n_shards, B/n) i32)."""
+    do_crop = splan.base.steps[step][0]
+    bs = splan.shard_batch
+    wires = np.zeros((splan.n_shards, splan.cap), np.uint8)
+    # global→per-shard row bookkeeping for the ragged staging/eval inputs
+    crop_cum = np.concatenate([[0], np.cumsum(do_crop.reshape(splan.n_shards, bs).sum(axis=1))])
+    full_cum = np.concatenate([[0], np.cumsum((~do_crop).reshape(splan.n_shards, bs).sum(axis=1))])
+    for d in range(splan.n_shards):
+        view = splan.shard_view(step, d)
+        wires[d], _ = pack_ragged_windows(
+            view,
+            step,
+            staging[crop_cum[d] : crop_cum[d + 1]],
+            eval_u8[full_cum[d] : full_cum[d + 1]],
+        )
+    return wires, splan.steps[step]
+
+
+def make_sharded_wire_unpack(splan: ShardedWirePlan, mesh, data_axis: str = "data"):
+    """Returns fn(wires (n_shards, cap) u8, offsets (n_shards, B/n) i32,
+    step_key) → (B, T, out_h, out_w, 3) u8, batch-sharded over
+    `data_axis`.  Each device unpacks only its own wire row (shard_map —
+    the ragged buffer never crosses devices); clip keys are the SAME
+    global split the single-buffer unpack and the augment stage use, so
+    downstream crowd11_augment_windowed_batch needs no changes."""
+    try:
+        from jax import shard_map  # jax ≥ 0.7 public API
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    from jax.sharding import PartitionSpec as P
+
+    one = _make_clip_unpack(dataclasses.replace(splan.base, cap=splan.cap))
+    batch_size = splan.base.batch_size
+    bs = splan.shard_batch
+
+    def _unpack_shard(wire_rows, off_rows, step_key):
+        # inside shard_map: wire_rows (1, cap), off_rows (1, bs)
+        d = jax.lax.axis_index(data_axis)
+        all_keys = jax.random.split(step_key, batch_size)
+        kd = jax.lax.dynamic_slice_in_dim(
+            jax.random.key_data(all_keys), d * bs, bs
+        )
+        keys = jax.random.wrap_key_data(kd)
+        wire = wire_rows[0]
+        return jax.lax.map(
+            lambda args: one(wire, args[0], args[1]), (off_rows[0], keys)
+        )
+
+    sharded = shard_map(
+        _unpack_shard,
+        mesh=mesh,
+        in_specs=(P(data_axis, None), P(data_axis, None), P()),
+        out_specs=P(data_axis),
+    )
+
+    def unpack(wires, offsets, step_key):
+        return sharded(wires, offsets, step_key)
+
+    return unpack
+
+
 def _even_origin(o: int, ship: int, limit: int) -> int:
     """Even-aligned superwindow origin covering [o, o+window) — the same
     arithmetic the device unpack re-derives (keep in lockstep)."""
@@ -231,12 +356,11 @@ def i420_to_bgr_u8(flat_u8: jax.Array, frames: int, h: int, w: int) -> jax.Array
     return jnp.clip(jnp.round(bgr), 0.0, 255.0).astype(jnp.uint8)
 
 
-def make_wire_unpack(plan: WirePlan):
-    """Returns a jit-friendly fn(wire_u8, offsets, step_key) →
-    (B, T, out_h, out_w, 3) u8 padded window batch (the input
-    crowd11_augment_windowed_batch expects).  Gates (and, for yuv420,
-    the crop origins) are re-derived from step_key with the same splits
-    as the host plan."""
+def _make_clip_unpack(plan: WirePlan):
+    """fn(wire_u8 (cap,), off scalar, k clip-key) → (T, oh, ow, 3) u8 —
+    the per-clip device unpack shared by the single-buffer and sharded
+    ingest paths.  Gates (and, for yuv420, the crop origins) are
+    re-derived from the clip key with the same splits as the host plan."""
     ch, cw = plan.crop_hw
     sh, sw = plan.crop_ship_hw
     hh, ww = plan.staging_hw
@@ -246,43 +370,52 @@ def make_wire_unpack(plan: WirePlan):
     full_bytes = plan.full_bytes
     cap = plan.cap
     p = plan.p
-    batch_size = plan.batch_size
     yuv = plan.colorspace == "yuv420"
+
+    def one(wire_u8, off, k):
+        # same derivation as crowd11_augment / augment_crop_decisions
+        k_crop_gate, k_crop_pos = jax.random.split(k, 7)[:2]
+        gate = jax.random.bernoulli(k_crop_gate, p)
+        crop_flat = jax.lax.dynamic_slice(wire_u8, (off,), (crop_bytes,))
+        crop_img = jnp.zeros((frames, oh, ow, 3), jnp.uint8)
+        if yuv:
+            ky, kx = jax.random.split(k_crop_pos)
+            y0 = jax.random.randint(ky, (), 0, hh - ch + 1)
+            x0 = jax.random.randint(kx, (), 0, ww - cw + 1)
+            dy = y0 - jnp.minimum(y0 - y0 % 2, hh - sh)
+            dx = x0 - jnp.minimum(x0 - x0 % 2, ww - sw)
+            super_img = i420_to_bgr_u8(crop_flat, frames, sh, sw)
+            window = jax.lax.dynamic_slice(
+                super_img, (0, dy, dx, 0), (frames, ch, cw, 3)
+            )
+        else:
+            window = crop_flat.reshape(frames, ch, cw, 3)
+        crop_img = jax.lax.dynamic_update_slice(
+            crop_img, window, (0, 0, 0, 0)
+        )
+        full_off = jnp.minimum(off, cap - full_bytes)
+        full_flat = jax.lax.dynamic_slice(wire_u8, (full_off,), (full_bytes,))
+        full_img = (
+            i420_to_bgr_u8(full_flat, frames, oh, ow)
+            if yuv
+            else full_flat.reshape(frames, oh, ow, 3)
+        )
+        return jnp.where(gate, crop_img, full_img)
+
+    return one
+
+
+def make_wire_unpack(plan: WirePlan):
+    """Returns a jit-friendly fn(wire_u8, offsets, step_key) →
+    (B, T, out_h, out_w, 3) u8 padded window batch (the input
+    crowd11_augment_windowed_batch expects)."""
+    one = _make_clip_unpack(plan)
+    batch_size = plan.batch_size
 
     def unpack(wire_u8, offsets, step_key):
         clip_keys = jax.random.split(step_key, batch_size)
-
-        def one(args):
-            off, k = args
-            # same derivation as crowd11_augment / augment_crop_decisions
-            k_crop_gate, k_crop_pos = jax.random.split(k, 7)[:2]
-            gate = jax.random.bernoulli(k_crop_gate, p)
-            crop_flat = jax.lax.dynamic_slice(wire_u8, (off,), (crop_bytes,))
-            crop_img = jnp.zeros((frames, oh, ow, 3), jnp.uint8)
-            if yuv:
-                ky, kx = jax.random.split(k_crop_pos)
-                y0 = jax.random.randint(ky, (), 0, hh - ch + 1)
-                x0 = jax.random.randint(kx, (), 0, ww - cw + 1)
-                dy = y0 - jnp.minimum(y0 - y0 % 2, hh - sh)
-                dx = x0 - jnp.minimum(x0 - x0 % 2, ww - sw)
-                super_img = i420_to_bgr_u8(crop_flat, frames, sh, sw)
-                window = jax.lax.dynamic_slice(
-                    super_img, (0, dy, dx, 0), (frames, ch, cw, 3)
-                )
-            else:
-                window = crop_flat.reshape(frames, ch, cw, 3)
-            crop_img = jax.lax.dynamic_update_slice(
-                crop_img, window, (0, 0, 0, 0)
-            )
-            full_off = jnp.minimum(off, cap - full_bytes)
-            full_flat = jax.lax.dynamic_slice(wire_u8, (full_off,), (full_bytes,))
-            full_img = (
-                i420_to_bgr_u8(full_flat, frames, oh, ow)
-                if yuv
-                else full_flat.reshape(frames, oh, ow, 3)
-            )
-            return jnp.where(gate, crop_img, full_img)
-
-        return jax.lax.map(one, (offsets, clip_keys))
+        return jax.lax.map(
+            lambda args: one(wire_u8, args[0], args[1]), (offsets, clip_keys)
+        )
 
     return unpack

@@ -477,3 +477,65 @@ def test_ragged_wire_yuv420_rejects_odd_dims():
             jax.random.key(0), 1, 2, 2, (81, 80), (56, 56),
             colorspace="yuv420",
         )
+
+
+def test_sharded_wire_matches_single_buffer_unpack():
+    """Multi-chip ingest: per-shard ragged wires unpacked locally under
+    shard_map (one wire row per data-mesh device) must reproduce the
+    single-buffer unpack bit-for-bit — the downstream augment consumes
+    either form unchanged.  Covers both wire colorspaces."""
+    import jax
+
+    from crowded_scenes_ensemble_classification_tpu.core.mesh import make_mesh
+    from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
+        make_sharded_wire_unpack,
+        make_wire_unpack,
+        pack_ragged_windows,
+        pack_sharded_wires,
+        plan_wire_steps,
+        shard_wire_plan,
+    )
+
+    n_shards, batch = 8, 16
+    frames, staging_hw, out_hw, margin = 3, (32, 30), (24, 24), 8
+    key = jax.random.key(7)
+    mesh = make_mesh((("data", n_shards),))
+    rng = np.random.default_rng(0)
+    for cs in ("rgb", "yuv420"):
+        plan = plan_wire_steps(
+            key, 2, batch, frames, staging_hw, out_hw,
+            p=0.6, crop_margin=margin, colorspace=cs,
+        )
+        splan = shard_wire_plan(plan, n_shards)
+        ref_unpack = jax.jit(make_wire_unpack(plan))
+        sh_unpack = jax.jit(make_sharded_wire_unpack(splan, mesh))
+        for step in range(2):
+            do_crop = plan.steps[step][0]
+            staging = rng.integers(
+                0, 255, (int(do_crop.sum()), frames, *staging_hw, 3), np.uint8
+            )
+            eval_u8 = rng.integers(
+                0, 255, (int((~do_crop).sum()), frames, *out_hw, 3), np.uint8
+            )
+            wire, offs = pack_ragged_windows(plan, step, staging, eval_u8)
+            wires, soffs = pack_sharded_wires(splan, step, staging, eval_u8)
+            step_key = jax.random.fold_in(key, step)
+            ref = np.asarray(ref_unpack(wire, offs, step_key))
+            out = sh_unpack(wires, soffs, step_key)
+            assert out.sharding.spec[0] == "data"
+            np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_shard_wire_plan_rejects_uneven_batch():
+    import jax
+
+    from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
+        plan_wire_steps,
+        shard_wire_plan,
+    )
+
+    plan = plan_wire_steps(
+        jax.random.key(0), 1, 6, 2, (32, 32), (24, 24), crop_margin=8
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        shard_wire_plan(plan, 4)
