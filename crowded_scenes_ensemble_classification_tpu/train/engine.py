@@ -88,31 +88,16 @@ def _preprocess(
     return out
 
 
-def make_train_step(
+def _make_apply_update(
     bundle: ModelBundle,
     tx: optax.GradientTransformation,
-    out_hw: Tuple[int, int],
-    augment: bool,
-    augment_p: float = 0.75,
-    l2_weight: float = 0.0,
-    mesh: Optional[Mesh] = None,
-    data_axis: str = "data",
-    input_scale: float = 1.0,
-    flow_fast_warp: bool = False,
-    flow_params: Optional[dict] = None,
+    l2_weight: float,
 ):
-    two_stream = bundle.two_stream
+    """The shared loss→grad→optax-update body of every train step
+    (dense-batch and wire-fed): fn(state, inputs, labels, mask,
+    class_weights, rng_drop) → (new_state, metrics)."""
 
-    def train_step(state: TrainState, batch, class_weights):
-        rng = jax.random.fold_in(state.rng, state.step)
-        rng_aug, rng_drop = jax.random.split(rng)
-        inputs = _preprocess(
-            batch, rng_aug, out_hw, augment, augment_p, two_stream, input_scale,
-            flow_fast_warp, flow_params,
-        )
-        labels = batch["label"].astype(jnp.int32)
-        mask = batch["valid"].astype(jnp.float32)
-
+    def apply_update(state: TrainState, inputs, labels, mask, class_weights, rng_drop):
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats:
@@ -152,6 +137,36 @@ def make_train_step(
         )
         return new_state, {"loss": loss, "accuracy": acc}
 
+    return apply_update
+
+
+def make_train_step(
+    bundle: ModelBundle,
+    tx: optax.GradientTransformation,
+    out_hw: Tuple[int, int],
+    augment: bool,
+    augment_p: float = 0.75,
+    l2_weight: float = 0.0,
+    mesh: Optional[Mesh] = None,
+    data_axis: str = "data",
+    input_scale: float = 1.0,
+    flow_fast_warp: bool = False,
+    flow_params: Optional[dict] = None,
+):
+    two_stream = bundle.two_stream
+    apply_update = _make_apply_update(bundle, tx, l2_weight)
+
+    def train_step(state: TrainState, batch, class_weights):
+        rng = jax.random.fold_in(state.rng, state.step)
+        rng_aug, rng_drop = jax.random.split(rng)
+        inputs = _preprocess(
+            batch, rng_aug, out_hw, augment, augment_p, two_stream, input_scale,
+            flow_fast_warp, flow_params,
+        )
+        labels = batch["label"].astype(jnp.int32)
+        mask = batch["valid"].astype(jnp.float32)
+        return apply_update(state, inputs, labels, mask, class_weights, rng_drop)
+
     if mesh is not None:
         data = NamedSharding(mesh, P(data_axis))
         def train_step_sharded(state, batch, class_weights):
@@ -160,6 +175,83 @@ def make_train_step(
                 for k, v in batch.items()
             }
             return train_step(state, batch, class_weights)
+
+        return jax.jit(train_step_sharded, donate_argnums=(0,))
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_wire_train_step(
+    bundle: ModelBundle,
+    tx: optax.GradientTransformation,
+    plan,
+    augment_key,
+    l2_weight: float = 0.0,
+    mesh: Optional[Mesh] = None,
+    data_axis: str = "data",
+    input_scale: float = 1.0,
+):
+    """Wire-fed TRAIN step for transfer-constrained host→device links
+    (RGB pipelines): fn(state, wire, offsets, step_idx, labels, valid,
+    class_weights) → (new_state, metrics).
+
+    The batch arrives as the ragged wire buffer (data.wire_format —
+    single-buffer WirePlan, or ShardedWirePlan + mesh for one wire row
+    per data-mesh device); the device unpacks it and runs the windowed
+    augmentation policy, then the SAME loss/update body as
+    make_train_step.  The augmentation key is fold_in(augment_key,
+    step_idx) — augment_key must be the key the host plan was built from
+    (plan_wire_steps), so the host's packed windows and the device's
+    re-derived gates agree; dropout keys derive from state.rng/state.step
+    exactly like the dense step.  Loss/grads match make_train_step
+    whenever the shipped windows equal the dense path's staged pixels
+    (test_train.py parity test).  Two-stream pipelines keep the dense
+    path: the reference computes flow from UNAUGMENTED staged frames
+    (train.py:195-221), which the augment-destined wire does not carry."""
+    if bundle.two_stream:
+        raise ValueError("wire-fed training is RGB-only (see docstring)")
+
+    from ..data.wire_format import (
+        ShardedWirePlan,
+        make_sharded_wire_unpack,
+        make_wire_unpack,
+    )
+    from ..ops.augment import crowd11_augment_windowed_batch
+
+    if isinstance(plan, ShardedWirePlan):
+        if mesh is None:
+            raise ValueError("ShardedWirePlan requires a mesh")
+        unpack = make_sharded_wire_unpack(plan, mesh, data_axis)
+        base = plan.base
+    else:
+        unpack = make_wire_unpack(plan)
+        base = plan
+    out_hw, staging_hw = base.out_hw, base.staging_hw
+    p, crop_margin = base.p, base.crop_margin
+    apply_update = _make_apply_update(bundle, tx, l2_weight)
+
+    def train_step(state: TrainState, wire, offsets, step_idx, labels, valid, class_weights):
+        step_key = jax.random.fold_in(augment_key, step_idx)
+        rng_drop = jax.random.split(jax.random.fold_in(state.rng, state.step))[1]
+        buf = unpack(wire, offsets, step_key)
+        x = crowd11_augment_windowed_batch(
+            buf.astype(jnp.float32), step_key, out_hw, staging_hw,
+            p=p, crop_margin=crop_margin,
+        )
+        inputs = {"rgb": x * input_scale}
+        mask = valid.astype(jnp.float32)
+        return apply_update(
+            state, inputs, labels.astype(jnp.int32), mask, class_weights, rng_drop
+        )
+
+    if mesh is not None:
+        data = NamedSharding(mesh, P(data_axis))
+
+        def train_step_sharded(state, wire, offsets, step_idx, labels, valid, class_weights):
+            labels = jax.lax.with_sharding_constraint(labels, data)
+            valid = jax.lax.with_sharding_constraint(valid, data)
+            return train_step(
+                state, wire, offsets, step_idx, labels, valid, class_weights
+            )
 
         return jax.jit(train_step_sharded, donate_argnums=(0,))
     return jax.jit(train_step, donate_argnums=(0,))

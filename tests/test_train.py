@@ -235,3 +235,130 @@ def test_restore_best_prefers_newest_format(tmp_path):
     os.utime(orbax_path, (3_000_000, 3_000_000))
     got = restore_best(ckpt, template)
     np.testing.assert_array_equal(np.asarray(got["params"]["w"]), 1.0)
+
+
+def test_wire_train_step_matches_dense_path():
+    """Wire-fed training (transfer-constrained links) must reproduce the
+    dense-batch step: with staging==out and p=0 the shipped windows equal
+    the dense path's staged pixels exactly, so loss/metrics/updates match
+    (dropout keys derive identically from state.rng/state.step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
+        pack_ragged_windows,
+        plan_wire_steps,
+    )
+    from crowded_scenes_ensemble_classification_tpu.train import TrainState
+    from crowded_scenes_ensemble_classification_tpu.train.engine import (
+        make_train_step,
+        make_wire_train_step,
+    )
+
+    bundle = tiny_c3d_bundle()
+    tx = _adam_for_tests()
+    variables = bundle.init(jax.random.key(0), batch_size=1)
+    b, t, s = 4, 16, 32
+    rng = np.random.default_rng(0)
+    clips = rng.integers(0, 255, (b, t, s, s, 3)).astype(np.uint8)
+    labels = rng.integers(0, 3, b).astype(np.int32)
+    valid = np.ones(b, bool)
+    cw = jnp.ones((3,), jnp.float32)
+
+    dense = make_train_step(
+        bundle, tx, (s, s), augment=True, augment_p=0.0, input_scale=1 / 255
+    )
+    batch = {"rgb": clips, "label": labels, "valid": valid, "index": np.arange(b)}
+    def fresh_state():
+        # deep-copy: the steps donate their state (donate_argnums), and
+        # both states must not share donated buffers
+        import jax.numpy as _jnp
+
+        v = jax.tree_util.tree_map(_jnp.array, variables)
+        return TrainState.create(v, tx, jax.random.key(1))
+
+    s1, m1 = dense(fresh_state(), batch, cw)
+
+    akey = jax.random.key(9)
+    plan = plan_wire_steps(akey, 1, b, t, (s, s), (s, s), p=0.0, crop_margin=8)
+    wire, offs = pack_ragged_windows(
+        plan, 0, np.zeros((0, t, s, s, 3), np.uint8), clips
+    )
+    wstep = make_wire_train_step(bundle, tx, plan, akey, input_scale=1 / 255)
+    s2, m2 = wstep(
+        fresh_state(), wire, offs, jnp.uint32(0), labels, valid, cw,
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["accuracy"]), float(m2["accuracy"]))
+    for a, c in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-6)
+
+
+def test_wire_train_step_sharded_matches_single_buffer():
+    """The sharded wire train step (per-device wire rows over the data
+    mesh) must produce the same update as the single-buffer wire step on
+    the same packed bytes, crops included."""
+    import jax
+    import jax.numpy as jnp
+
+    from crowded_scenes_ensemble_classification_tpu.core.mesh import make_mesh
+    from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
+        pack_ragged_windows,
+        pack_sharded_wires,
+        plan_wire_steps,
+        shard_wire_plan,
+    )
+    from crowded_scenes_ensemble_classification_tpu.train import TrainState
+    from crowded_scenes_ensemble_classification_tpu.train.engine import (
+        make_wire_train_step,
+    )
+
+    bundle = tiny_c3d_bundle()
+    tx = _adam_for_tests()
+    variables = bundle.init(jax.random.key(0), batch_size=1)
+    b, t, s, stg = 8, 16, 32, 40
+    rng = np.random.default_rng(1)
+    akey = jax.random.key(3)
+    plan = plan_wire_steps(
+        akey, 1, b, t, (stg, stg), (s, s), p=0.75, crop_margin=8
+    )
+    do_crop = plan.steps[0][0]
+    staging = rng.integers(
+        0, 255, (int(do_crop.sum()), t, stg, stg, 3)
+    ).astype(np.uint8)
+    eval_u8 = rng.integers(
+        0, 255, (int((~do_crop).sum()), t, s, s, 3)
+    ).astype(np.uint8)
+    labels = rng.integers(0, 3, b).astype(np.int32)
+    valid = np.ones(b, bool)
+    cw = jnp.ones((3,), jnp.float32)
+
+    wire, offs = pack_ragged_windows(plan, 0, staging, eval_u8)
+    single = make_wire_train_step(bundle, tx, plan, akey, input_scale=1 / 255)
+    def fresh_state():
+        import jax.numpy as _jnp
+
+        v = jax.tree_util.tree_map(_jnp.array, variables)
+        return TrainState.create(v, tx, jax.random.key(1))
+
+    s1, m1 = single(
+        fresh_state(), wire, offs, jnp.uint32(0), labels, valid, cw,
+    )
+
+    mesh = make_mesh((("data", 8),))
+    splan = shard_wire_plan(plan, 8)
+    wires, soffs = pack_sharded_wires(splan, 0, staging, eval_u8)
+    sharded = make_wire_train_step(
+        bundle, tx, splan, akey, mesh=mesh, input_scale=1 / 255
+    )
+    s2, m2 = sharded(
+        fresh_state(), wires, soffs, jnp.uint32(0), labels, valid, cw,
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, c in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        # SPMD reduction order differs from single-device by ~1e-5
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=5e-5)
