@@ -15,6 +15,7 @@ from .pipeline import (  # noqa: F401
     class_weights_balanced,
     expand_precomputed_augmentation,
 )
+from .resident import ResidentClips  # noqa: F401
 from .splits import build_split, load_fold_csvs, split_dir_name, write_split_matrix  # noqa: F401
 from .synthetic import generate_synthetic_dataset, make_clip_array  # noqa: F401
 from .video_io import decode_clip, decode_flow_pair, video_frame_count, write_video  # noqa: F401

@@ -17,7 +17,10 @@ from .engine import (  # noqa: F401
     evaluate_model,
     fit,
     make_eval_step,
+    make_resident_eval_step,
+    make_resident_train_step,
     make_train_step,
+    make_wire_train_step,
     store_history,
 )
 from .state import TrainState, get_learning_rate, make_optimizer, set_learning_rate  # noqa: F401

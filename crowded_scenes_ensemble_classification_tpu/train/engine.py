@@ -140,19 +140,21 @@ def _make_apply_update(
     return apply_update
 
 
-def make_train_step(
+def _make_dense_train_body(
     bundle: ModelBundle,
     tx: optax.GradientTransformation,
     out_hw: Tuple[int, int],
     augment: bool,
-    augment_p: float = 0.75,
-    l2_weight: float = 0.0,
-    mesh: Optional[Mesh] = None,
-    data_axis: str = "data",
-    input_scale: float = 1.0,
+    augment_p: float,
+    l2_weight: float,
+    input_scale: float,
     flow_fast_warp: bool = False,
     flow_params: Optional[dict] = None,
 ):
+    """The unjitted dense-batch train body shared by make_train_step and
+    make_resident_train_step: fn(state, batch, class_weights) with batch
+    holding staged uint8 pixels ("rgb" [+ "flow" | "gray"/"gray_next"]),
+    "label" and "valid"."""
     two_stream = bundle.two_stream
     apply_update = _make_apply_update(bundle, tx, l2_weight)
 
@@ -166,6 +168,27 @@ def make_train_step(
         labels = batch["label"].astype(jnp.int32)
         mask = batch["valid"].astype(jnp.float32)
         return apply_update(state, inputs, labels, mask, class_weights, rng_drop)
+
+    return train_step
+
+
+def make_train_step(
+    bundle: ModelBundle,
+    tx: optax.GradientTransformation,
+    out_hw: Tuple[int, int],
+    augment: bool,
+    augment_p: float = 0.75,
+    l2_weight: float = 0.0,
+    mesh: Optional[Mesh] = None,
+    data_axis: str = "data",
+    input_scale: float = 1.0,
+    flow_fast_warp: bool = False,
+    flow_params: Optional[dict] = None,
+):
+    train_step = _make_dense_train_body(
+        bundle, tx, out_hw, augment, augment_p, l2_weight, input_scale,
+        flow_fast_warp, flow_params,
+    )
 
     if mesh is not None:
         data = NamedSharding(mesh, P(data_axis))
@@ -257,7 +280,92 @@ def make_wire_train_step(
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(
+def _make_resident_gather(mesh: Optional[Mesh], data_axis: str):
+    """fn(resident: dict of (N, …) device arrays, indices (B,) int32) →
+    dict of (B, …) batch leaves, all on device.
+
+    mesh=None: one global jnp.take.  With a mesh: each device gathers rows
+    from ITS OWN shard locally under shard_map — `indices` carry per-shard
+    LOCAL row numbers laid out shard-block-major (exactly the layout
+    data.resident.ResidentClips.batches emits), so no resident bytes ever
+    cross devices."""
+    if mesh is None:
+
+        def gather(resident, indices):
+            return jax.tree.map(lambda a: jnp.take(a, indices, axis=0), resident)
+
+        return gather
+
+    try:
+        from jax import shard_map  # jax ≥ 0.7 public API
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    def _local(resident, idx):
+        return jax.tree.map(lambda a: a[idx], resident)
+
+    return shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(data_axis), P(data_axis)),
+        out_specs=P(data_axis),
+    )
+
+
+def make_resident_train_step(
+    bundle: ModelBundle,
+    tx: optax.GradientTransformation,
+    out_hw: Tuple[int, int],
+    augment: bool,
+    augment_p: float = 0.75,
+    l2_weight: float = 0.0,
+    mesh: Optional[Mesh] = None,
+    data_axis: str = "data",
+    input_scale: float = 1.0,
+    flow_fast_warp: bool = False,
+    flow_params: Optional[dict] = None,
+):
+    """Train step over an HBM-RESIDENT dataset (data.resident.ResidentClips):
+    fn(state, batch, class_weights) with batch = {"resident": {name → (N, …)
+    device array, incl. "label"}, "indices": (B,) int32, "valid": (B,) bool}.
+
+    The staged pixels were uploaded ONCE (ResidentClips); every step gathers
+    its batch rows on device and runs the SAME dense body as make_train_step
+    — loss/grads/update match make_train_step on the gathered batch exactly
+    (test_resident.py).  After the one-time upload, epochs cost ZERO
+    host→device pixel bytes: the host ships int32 indices only.  This
+    replaces the reference's per-epoch decode+feed hot loop
+    (train.py:257-269) whenever the staged dataset fits in device memory
+    (sharded over the data mesh axis when given).  Works for every pipeline
+    mode the dense step supports: rgb, precomputed TV-L1 flow ("flow"
+    resident array), and on-device Farnebäck ("gray"/"gray_next")."""
+    body = _make_dense_train_body(
+        bundle, tx, out_hw, augment, augment_p, l2_weight, input_scale,
+        flow_fast_warp, flow_params,
+    )
+    gather = _make_resident_gather(mesh, data_axis)
+
+    def train_step(state: TrainState, batch, class_weights):
+        dense = gather(batch["resident"], batch["indices"])
+        dense["valid"] = batch["valid"]
+        return body(state, dense, class_weights)
+
+    if mesh is not None:
+        data = NamedSharding(mesh, P(data_axis))
+
+        def train_step_sharded(state, batch, class_weights):
+            batch = dict(batch)
+            batch["indices"] = jax.lax.with_sharding_constraint(
+                batch["indices"], data
+            )
+            batch["valid"] = jax.lax.with_sharding_constraint(batch["valid"], data)
+            return train_step(state, batch, class_weights)
+
+        return jax.jit(train_step_sharded, donate_argnums=(0,))
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_resident_eval_step(
     bundle: ModelBundle,
     out_hw: Tuple[int, int],
     mesh: Optional[Mesh] = None,
@@ -266,6 +374,44 @@ def make_eval_step(
     flow_fast_warp: bool = False,
     flow_params: Optional[dict] = None,
 ):
+    """Eval twin of make_resident_train_step: fn(variables, batch) over a
+    ResidentClips batch — device-side gather then the SAME body as
+    make_eval_step.  Feed evaluate_model(..., eval_step=...) with a
+    ResidentClips as the pipeline."""
+    body = _make_dense_eval_body(
+        bundle, out_hw, input_scale, flow_fast_warp, flow_params
+    )
+    gather = _make_resident_gather(mesh, data_axis)
+
+    def eval_step(variables, batch):
+        dense = gather(batch["resident"], batch["indices"])
+        dense["valid"] = batch["valid"]
+        return body(variables, dense)
+
+    if mesh is not None:
+        data = NamedSharding(mesh, P(data_axis))
+
+        def eval_step_sharded(variables, batch):
+            batch = dict(batch)
+            batch["indices"] = jax.lax.with_sharding_constraint(
+                batch["indices"], data
+            )
+            batch["valid"] = jax.lax.with_sharding_constraint(batch["valid"], data)
+            return eval_step(variables, batch)
+
+        return jax.jit(eval_step_sharded)
+    return jax.jit(eval_step)
+
+
+def _make_dense_eval_body(
+    bundle: ModelBundle,
+    out_hw: Tuple[int, int],
+    input_scale: float,
+    flow_fast_warp: bool = False,
+    flow_params: Optional[dict] = None,
+):
+    """The unjitted dense-batch eval body shared by make_eval_step and
+    make_resident_eval_step."""
     two_stream = bundle.two_stream
 
     def eval_step(variables, batch):
@@ -286,6 +432,22 @@ def make_eval_step(
             "count": jnp.sum(mask),
             "probs": probs,
         }
+
+    return eval_step
+
+
+def make_eval_step(
+    bundle: ModelBundle,
+    out_hw: Tuple[int, int],
+    mesh: Optional[Mesh] = None,
+    data_axis: str = "data",
+    input_scale: float = 1.0,
+    flow_fast_warp: bool = False,
+    flow_params: Optional[dict] = None,
+):
+    eval_step = _make_dense_eval_body(
+        bundle, out_hw, input_scale, flow_fast_warp, flow_params
+    )
 
     if mesh is not None:
         data = NamedSharding(mesh, P(data_axis))
