@@ -126,6 +126,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="_PRETRAINED: Keras h5 or converted .msgpack (rgb)")
     p.add_argument("--flow-h5", default=None,
                    help="_PRETRAINED: Keras h5 (flow stream)")
+    p.add_argument("--resident", action="store_true",
+                   help="pin each split's staged clips in device memory "
+                        "once and gather batches on device — epochs ship "
+                        "only int32 indices (data.resident; replaces the "
+                        "reference's per-epoch decode+feed, "
+                        "train.py:257-269); needs the dataset to fit in "
+                        "device memory")
 
     p = sub.add_parser("train", help="train one (test, val) ensemble member")
     _add_config_flags(p)
@@ -137,6 +144,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="_PRETRAINED: Keras h5 or converted .msgpack (rgb)")
     p.add_argument("--flow-h5", default=None,
                    help="_PRETRAINED: Keras h5 (flow stream)")
+    p.add_argument("--resident", action="store_true",
+                   help="pin the split's staged clips in device memory "
+                        "once; see launch --resident")
 
     p = sub.add_parser("probs", help="cache member softmax probabilities")
     _add_config_flags(p)
@@ -275,6 +285,7 @@ def main(argv=None) -> int:
         out = launch_ensemble_training(
             config, table, args.work_dir, runner=args.runner,
             rgb_h5=args.rgb_h5, flow_h5=args.flow_h5,
+            resident=args.resident,
         )
         if args.runner == "commands":
             print("\n".join(out))
@@ -300,6 +311,7 @@ def main(argv=None) -> int:
             verbose=args.verbose,
             rgb_h5=args.rgb_h5,
             flow_h5=args.flow_h5,
+            resident=args.resident,
         )
         print(
             f"test_acc={out['test_accuracy']:.4f} test_loss={out['test_loss']:.4f} "

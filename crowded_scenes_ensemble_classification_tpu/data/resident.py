@@ -17,8 +17,12 @@ Sizing: a staged Crowd-11 clip is T×H×W×3 u8 = 20·256²·3 ≈ 3.9 MB, so on
 dataset with room to spare.  `ResidentClips.nbytes` reports the footprint;
 callers decide residency vs the streaming BatchPipeline.
 
-Sharding note: with a mesh, clips are split contiguously over the data
-axis and each epoch shuffles WITHIN shards (the standard per-host TPU
+Sharding notes: with a mesh, clips are split contiguously over the data
+axis; datasets that don't divide evenly are padded with cycled rows that
+are NEVER marked valid (they occupy device memory but are excluded from
+every epoch pool, so per-epoch coverage of real clips stays exact — the
+loss/accuracy masking downstream ignores any padded batch positions).
+Each epoch shuffles WITHIN shards (the standard per-host TPU
 input-pipeline recipe — no resharding traffic).  Batch rows are laid out
 shard-block-major; the per-row `index` field carries global clip ids for
 order-sensitive consumers (probability stores).
@@ -27,7 +31,7 @@ order-sensitive consumers (probability stores).
 from __future__ import annotations
 
 import math
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator, List, Optional
 
 import jax
 import numpy as np
@@ -63,6 +67,8 @@ class ResidentClips:
     ):
         labels = np.asarray(labels, np.int32)
         n = len(labels)
+        if n == 0:
+            raise ValueError("empty dataset")
         for k, v in arrays.items():
             if len(v) != n:
                 raise ValueError(f"array {k!r} has {len(v)} rows, labels {n}")
@@ -76,10 +82,6 @@ class ResidentClips:
         self.data_axis = data_axis
         if mesh is not None:
             n_shards = mesh.shape[data_axis]
-            if n % n_shards:
-                raise ValueError(
-                    f"{n} clips not divisible by {n_shards} {data_axis!r} shards"
-                )
             if batch_size % n_shards:
                 raise ValueError(
                     f"batch_size {batch_size} not divisible by {n_shards} shards"
@@ -93,9 +95,26 @@ class ResidentClips:
         else:
             put = jax.device_put
             self.n_shards = 1
-        self.resident = {k: put(np.asarray(v)) for k, v in arrays.items()}
-        self.resident["label"] = put(labels)
+        # Pad to a multiple of n_shards with cycled rows.  Pad rows live in
+        # device memory so shard extents are uniform, but they are excluded
+        # from every epoch pool and never marked valid.
+        self.n_padded = math.ceil(n / self.n_shards) * self.n_shards
+        pad = self.n_padded - n
+
+        def _padded(a):
+            if pad == 0:
+                return np.asarray(a)
+            return np.concatenate([a, a[:pad]], axis=0)
+
+        self.resident = {k: put(_padded(np.asarray(v))) for k, v in arrays.items()}
+        self.resident["label"] = put(_padded(labels))
         self.labels = labels
+        # per-shard count of REAL rows (pad rows sit at the global tail)
+        rows = self.n_padded // self.n_shards
+        self._shard_rows = rows
+        self._real_per_shard = np.clip(
+            n - rows * np.arange(self.n_shards), 0, rows
+        ).astype(int)
         # balanced-class hook: train.engine.fit reads df["class"]
         self.df = pd.DataFrame({"class": labels})
 
@@ -136,50 +155,59 @@ class ResidentClips:
         return sum(int(v.nbytes) for v in self.resident.values())
 
     @property
-    def _shard_pool(self) -> int:
-        return (self.n // self.n_shards) * self.tile
-
-    @property
     def _shard_bs(self) -> int:
         return self.batch_size // self.n_shards
 
+    @property
+    def _max_pool(self) -> int:
+        return int(self._real_per_shard.max()) * self.tile
+
     def __len__(self) -> int:
         if self.drop_last:
-            return self._shard_pool // self._shard_bs
-        return math.ceil(self._shard_pool / self._shard_bs)
+            return self._max_pool // self._shard_bs
+        return math.ceil(self._max_pool / self._shard_bs)
 
-    def epoch_local_indices(self, epoch: int) -> np.ndarray:
-        """(n_shards, pool) LOCAL row ids per shard, shuffled per epoch
-        (deterministic in (seed, epoch), like BatchPipeline.epoch_indices)."""
-        pool = np.tile(
-            np.arange(self.n // self.n_shards, dtype=np.int32), self.tile
+    def epoch_local_indices(self, epoch: int) -> List[np.ndarray]:
+        """Per-shard pools of LOCAL row ids (real rows only, tiled
+        `augmentation_frequency` times), shuffled per epoch —
+        deterministic in (seed, epoch), like BatchPipeline.epoch_indices.
+        Pool lengths differ when the dataset doesn't divide evenly."""
+        rng = (
+            np.random.default_rng((self.seed, epoch)) if self.shuffle else None
         )
-        out = np.stack([pool.copy() for _ in range(self.n_shards)])
-        if self.shuffle:
-            rng = np.random.default_rng((self.seed, epoch))
-            for d in range(self.n_shards):
-                rng.shuffle(out[d])
-        return out
+        pools = []
+        for d in range(self.n_shards):
+            pool = np.tile(
+                np.arange(self._real_per_shard[d], dtype=np.int32), self.tile
+            )
+            if rng is not None and len(pool):
+                rng.shuffle(pool)
+            pools.append(pool)
+        return pools
 
     def batches(self, epoch: int = 0) -> Iterator[Dict]:
-        """Yields {"resident": {name → (N,…) device array, "label" incl.},
-        "indices": (B,) int32 local row ids in shard-block order,
+        """Yields {"resident": {name → (N_padded,…) device array, "label"
+        incl.}, "indices": (B,) int32 local row ids in shard-block order,
         "valid": (B,) bool, "index": (B,) int64 global clip ids}."""
-        idx = self.epoch_local_indices(epoch)
+        pools = self.epoch_local_indices(epoch)
         pbs = self._shard_bs
         nb = len(self)
-        shard_off = (self.n // self.n_shards) * np.arange(
-            self.n_shards, dtype=np.int64
-        )
         for b in range(nb):
-            chunk = idx[:, b * pbs : (b + 1) * pbs]
-            valid_n = chunk.shape[1]
-            if valid_n < pbs:  # pad by cycling (masked out downstream)
-                chunk = np.concatenate([chunk, idx[:, : pbs - valid_n]], axis=1)
-            valid = np.tile(np.arange(pbs) < valid_n, self.n_shards)
+            idx = np.zeros((self.n_shards, pbs), np.int32)
+            valid = np.zeros((self.n_shards, pbs), bool)
+            for d, pool in enumerate(pools):
+                chunk = pool[b * pbs : (b + 1) * pbs]
+                valid[d, : len(chunk)] = True
+                if len(chunk) < pbs:  # pad by cycling (masked out downstream)
+                    fill = pool if len(pool) else np.zeros(1, np.int32)
+                    chunk = np.resize(np.concatenate([chunk, fill]), pbs)
+                idx[d] = chunk
+            glob = idx.astype(np.int64) + (
+                self._shard_rows * np.arange(self.n_shards, dtype=np.int64)
+            )[:, None]
             yield {
                 "resident": self.resident,
-                "indices": chunk.reshape(-1).astype(np.int32),
-                "valid": valid,
-                "index": (chunk.astype(np.int64) + shard_off[:, None]).reshape(-1),
+                "indices": idx.reshape(-1),
+                "valid": valid.reshape(-1),
+                "index": glob.reshape(-1),
             }

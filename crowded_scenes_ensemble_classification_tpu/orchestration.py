@@ -202,6 +202,7 @@ def train_member(
     flow_h5: Optional[str] = None,
     train_step=None,
     eval_step=None,
+    resident: bool = False,
 ) -> Dict[str, Any]:
     """One ensemble member end-to-end: fit → test eval → history artifact
     (reference train.py main, :1978-2051).  rgb_h5/flow_h5 supply pretrained
@@ -209,7 +210,14 @@ def train_member(
 
     train_step/eval_step: prebuilt jitted steps shared across members
     (see launch_ensemble_training — one compile instead of one per
-    member); must match `optimizer`.
+    member); must match `optimizer`.  With resident=True they must be
+    resident steps (make_resident_train_step/make_resident_eval_step).
+
+    resident=True pins the split's staged clips in device memory once
+    (data.resident.ResidentClips, sharded over the mesh's data axis when
+    a mesh is given) so every epoch gathers batches on device instead of
+    re-feeding pixels from host — the TPU-native replacement for the
+    reference's per-epoch decode+feed loop (train.py:257-269).
 
     input_scale=None reads config.input_scale (an explicit argument
     overrides it for this call only)."""
@@ -227,6 +235,40 @@ def train_member(
     pipes = _pipelines_for_split(
         config, layout, t, v, staging_hw=staging_hw, num_workers=num_workers
     )
+    if resident:
+        from .data.resident import ResidentClips
+
+        pipes = {
+            name: ResidentClips.from_pipeline(p, mesh=mesh)
+            for name, p in pipes.items()
+        }
+        if train_step is None:
+            from .train.callbacks import lr_policy_for
+            from .train.engine import (
+                R3D_L2_WEIGHT,
+                make_resident_eval_step,
+                make_resident_train_step,
+            )
+            from .train.state import make_optimizer
+
+            out_hw = (bundle.clip.height, bundle.clip.width)
+            optimizer = optimizer or make_optimizer(
+                config.model_type, lr_policy_for(config.model_type).initial_lr
+            )
+            l2w = R3D_L2_WEIGHT if config.model_type.startswith("R3D") else 0.0
+            train_step = make_resident_train_step(
+                bundle,
+                optimizer,
+                out_hw,
+                augment=(config.augmentation_status == "augmented_onTheFly"),
+                augment_p=0.75,
+                l2_weight=l2w,
+                mesh=mesh,
+                input_scale=input_scale,
+            )
+            eval_step = make_resident_eval_step(
+                bundle, out_hw, mesh, input_scale=input_scale
+            )
     ckpt_dir = layout.checkpoint_dir(config, t, v)
 
     from .utils.metrics import MetricsLogger
@@ -284,6 +326,7 @@ def member_cli_commands(
     work_dir: str,
     rgb_h5: Optional[str] = None,
     flow_h5: Optional[str] = None,
+    resident: bool = False,
 ) -> List[str]:
     """The sbatch-parity mode: one CLI command per (t, v) member, for
     external schedulers (reference launch_train_ensemble.py:144-158)."""
@@ -310,6 +353,8 @@ def member_cli_commands(
             cmd += f" --rgb-h5 {rgb_h5}"
         if flow_h5:
             cmd += f" --flow-h5 {flow_h5}"
+        if resident:
+            cmd += " --resident"
         cmds.append(cmd)
     return cmds
 
@@ -333,6 +378,7 @@ def launch_ensemble_training(
             work_dir,
             rgb_h5=member_kwargs.get("rgb_h5"),
             flow_h5=member_kwargs.get("flow_h5"),
+            resident=member_kwargs.get("resident", False),
         )
 
     # Build the jitted train/eval steps ONCE and share them across all
@@ -346,8 +392,13 @@ def launch_ensemble_training(
         and member_kwargs.get("mesh") is None
     ):
         from .train.callbacks import lr_policy_for
-        from .train.engine import make_eval_step, make_train_step
-        from .train.engine import R3D_L2_WEIGHT
+        from .train.engine import (
+            R3D_L2_WEIGHT,
+            make_eval_step,
+            make_resident_eval_step,
+            make_resident_train_step,
+            make_train_step,
+        )
         from .train.state import make_optimizer
 
         bundle = build_model(config.model_type, config.num_classes)
@@ -361,10 +412,23 @@ def launch_ensemble_training(
         l2w = (
             R3D_L2_WEIGHT if config.model_type.startswith("R3D") else 0.0
         )
+        # resident mode gathers batches from HBM-resident arrays — the
+        # shared steps must be the resident variants (same compile-once
+        # sharing: all members use one gather+train executable).
+        mk_train = (
+            make_resident_train_step
+            if member_kwargs.get("resident")
+            else make_train_step
+        )
+        mk_eval = (
+            make_resident_eval_step
+            if member_kwargs.get("resident")
+            else make_eval_step
+        )
         member_kwargs.update(
             bundle=bundle,
             optimizer=tx,
-            train_step=make_train_step(
+            train_step=mk_train(
                 bundle,
                 tx,
                 out_hw,
@@ -373,7 +437,7 @@ def launch_ensemble_training(
                 l2_weight=l2w,
                 input_scale=input_scale,
             ),
-            eval_step=make_eval_step(bundle, out_hw, input_scale=input_scale),
+            eval_step=mk_eval(bundle, out_hw, input_scale=input_scale),
         )
         if config.training_condition == "_PRETRAINED" and (
             member_kwargs.get("initial_variables") is None

@@ -262,6 +262,87 @@ def test_resident_validation_errors():
     rgb, labels = _data(n=10)
     mesh = make_mesh((("data", -1),))
     with pytest.raises(ValueError, match="not divisible"):
-        ResidentClips({"rgb": rgb}, labels, batch_size=8, mesh=mesh)
+        ResidentClips({"rgb": rgb}, labels, batch_size=12, mesh=mesh)
     with pytest.raises(ValueError, match="rows"):
         ResidentClips({"rgb": rgb[:5]}, labels, batch_size=4)
+
+
+def test_train_member_resident_e2e(tmp_path):
+    """Orchestration-level resident mode: train_member(resident=True)
+    pins the split's staged clips once and trains/evals through the
+    resident steps (the `--resident` CLI path), producing the standard
+    checkpoint + history artifacts."""
+    import os
+
+    from crowded_scenes_ensemble_classification_tpu.core.config import (
+        ExperimentConfig,
+    )
+    from crowded_scenes_ensemble_classification_tpu.orchestration import (
+        member_cli_commands,
+        prepare_ensemble,
+        train_member,
+    )
+
+    df = generate_synthetic_dataset(
+        str(tmp_path / "data"), num_scenes=6, clips_per_scene=3,
+        num_classes=3, num_frames=16, hw=(40, 40), as_videos=False,
+    )
+    config = ExperimentConfig(
+        model_type="C3D", training_condition="_SCRATCH", folds_number=3,
+        num_classes=3, batch_size=6, epochs=2,
+    )
+    layout = prepare_ensemble(config, df, str(tmp_path / "work"))
+    out = train_member(
+        config, layout, 0, 1,
+        epochs=2,
+        bundle=tiny_bundle(),
+        input_scale=1 / 255.0,
+        staging_hw=(40, 40),
+        num_workers=2,
+        optimizer=_adam(),
+        resident=True,
+    )
+    assert np.isfinite(out["test_loss"])
+    assert os.path.exists(out["checkpoint_dir"])
+    assert os.path.exists(layout.history_path(config, 0, 1))
+
+    # the sbatch-parity command list forwards the flag
+    cmds = member_cli_commands(config, layout.root, resident=True)
+    assert all("--resident" in c for c in cmds)
+
+
+def test_resident_uneven_shards_coverage_and_parity():
+    """Datasets that don't divide evenly over the mesh: pad rows are never
+    valid, every real clip is seen exactly once per epoch, and the sharded
+    step's loss matches the dense step on the same (masked) rows."""
+    bundle = tiny_bundle()
+    tx = _adam()
+    mesh = make_mesh((("data", -1),))
+    rgb, labels = _data(n=12)  # 12 over 8 shards → 2 rows/shard, 4 pad rows
+    rc = ResidentClips({"rgb": rgb}, labels, batch_size=8, mesh=mesh, shuffle=False)
+    assert rc.n_padded == 16
+    seen = []
+    for batch in rc.batches(0):
+        v = np.asarray(batch["valid"])
+        seen.extend(np.asarray(batch["index"])[v])
+    assert sorted(seen) == list(range(12))
+
+    rstep = make_resident_train_step(
+        bundle, tx, (32, 32), augment=False, input_scale=1 / 255.0, mesh=mesh
+    )
+    dstep = make_train_step(
+        bundle, tx, (32, 32), augment=False, input_scale=1 / 255.0
+    )
+    cw = np.ones(3, np.float32)
+    batch = next(iter(rc.batches(0)))
+    s_r, m_r = rstep(_fresh_state(bundle, tx), batch, cw)
+    idx = np.asarray(batch["index"]) % 12  # pad rows cycle from the front
+    dense_batch = {
+        "rgb": rgb[idx],
+        "label": labels[idx],
+        "valid": np.asarray(batch["valid"]),
+    }
+    s_d, m_d = dstep(_fresh_state(bundle, tx), dense_batch, cw)
+    np.testing.assert_allclose(
+        float(m_r["loss"]), float(m_d["loss"]), rtol=1e-5
+    )
