@@ -23,9 +23,12 @@ are NEVER marked valid (they occupy device memory but are excluded from
 every epoch pool, so per-epoch coverage of real clips stays exact — the
 loss/accuracy masking downstream ignores any padded batch positions).
 Each epoch shuffles WITHIN shards (the standard per-host TPU
-input-pipeline recipe — no resharding traffic).  Batch rows are laid out
-shard-block-major; the per-row `index` field carries global clip ids for
-order-sensitive consumers (probability stores).
+input-pipeline recipe — no resharding traffic); pass `preshuffle` to
+apply a one-time global permutation BEFORE the shard split so shards are
+class-mixed even though fold CSVs arrive class-clustered.  Batch rows are
+laid out shard-block-major; the per-row `index` field carries ORIGINAL
+clip ids for order-sensitive consumers (train.engine.evaluate_model
+restores dataset order from it when collecting probabilities).
 """
 
 from __future__ import annotations
@@ -64,7 +67,22 @@ class ResidentClips:
         seed: int = 0,
         augmentation_frequency: int = 1,
         drop_last: bool = False,
+        preshuffle: Optional[int] = None,
+        pad_to: Optional[int] = None,
     ):
+        """preshuffle: seed for a ONE-TIME global permutation applied
+        before the contiguous shard split — fold CSVs are class-clustered
+        (folds.make_fold_dataframes sorts by path, and Crowd-11 paths embed
+        the class), so without it each shard would hold a class-skewed
+        fixed subset for the whole run.  The `index` field still reports
+        ORIGINAL (pre-permutation) clip ids.
+
+        pad_to: pad the resident arrays up to (at least) this many rows —
+        jitted resident steps are shape-specialized on the padded dataset
+        size, so padding every k-fold member's train split to one common
+        size lets all members share a single compiled executable
+        (orchestration.launch_ensemble_training does this).  Pad rows are
+        never valid."""
         labels = np.asarray(labels, np.int32)
         n = len(labels)
         if n == 0:
@@ -72,6 +90,13 @@ class ResidentClips:
         for k, v in arrays.items():
             if len(v) != n:
                 raise ValueError(f"array {k!r} has {len(v)} rows, labels {n}")
+        if preshuffle is not None:
+            perm = np.random.default_rng(preshuffle).permutation(n)
+            arrays = {k: np.asarray(v)[perm] for k, v in arrays.items()}
+            labels = labels[perm]
+            self._orig_ids = perm.astype(np.int64)
+        else:
+            self._orig_ids = np.arange(n, dtype=np.int64)
         self.n = n
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -95,16 +120,19 @@ class ResidentClips:
         else:
             put = jax.device_put
             self.n_shards = 1
-        # Pad to a multiple of n_shards with cycled rows.  Pad rows live in
-        # device memory so shard extents are uniform, but they are excluded
-        # from every epoch pool and never marked valid.
-        self.n_padded = math.ceil(n / self.n_shards) * self.n_shards
-        pad = self.n_padded - n
+        # Pad to a multiple of n_shards (and at least pad_to) with cycled
+        # rows.  Pad rows live in device memory so shard extents are
+        # uniform, but they are excluded from every epoch pool and never
+        # marked valid.
+        target = max(n, pad_to or 0)
+        self.n_padded = math.ceil(target / self.n_shards) * self.n_shards
+        pad_idx = np.arange(self.n_padded) % n  # cycles even when pad > n
 
         def _padded(a):
-            if pad == 0:
-                return np.asarray(a)
-            return np.concatenate([a, a[:pad]], axis=0)
+            a = np.asarray(a)
+            if self.n_padded == n:
+                return a
+            return a[pad_idx]
 
         self.resident = {k: put(_padded(np.asarray(v))) for k, v in arrays.items()}
         self.resident["label"] = put(_padded(labels))
@@ -125,18 +153,32 @@ class ResidentClips:
         mesh: Optional[Mesh] = None,
         data_axis: str = "data",
         batch_size: Optional[int] = None,
+        preshuffle: Optional[int] = None,
+        pad_to: Optional[int] = None,
     ) -> "ResidentClips":
         """Materialize a BatchPipeline's staged samples once (host decode
         or clip-cache read — data.pipeline.ClipSource) and pin them in
-        device memory.  Shuffle/seed/tiling carry over from the pipeline."""
+        device memory.  Decoding uses the pipeline's thread pool (or the
+        clip cache's native threaded pread fast path).  Shuffle/seed/
+        tiling carry over from the pipeline."""
+        import concurrent.futures as cf
+
         df = pipeline.df
         src = pipeline.source
         if hasattr(src, "populate") and not src.ready:
             src.populate()
-        samples = [src(df.iloc[i]) for i in range(len(df))]
-        keys = [k for k in samples[0] if k != "label"]
-        arrays = {k: np.stack([s[k] for s in samples]) for k in keys}
-        labels = np.asarray([s["label"] for s in samples], np.int32)
+        if hasattr(src, "read_batch") and getattr(src, "ready", False):
+            rgb, labels = src.read_batch(np.arange(len(df)))
+            arrays = {"rgb": rgb}
+            labels = np.asarray(labels, np.int32)
+        else:
+            with cf.ThreadPoolExecutor(max_workers=pipeline.num_workers) as pool:
+                samples = list(
+                    pool.map(lambda i: src(df.iloc[int(i)]), range(len(df)))
+                )
+            keys = [k for k in samples[0] if k != "label"]
+            arrays = {k: np.stack([s[k] for s in samples]) for k in keys}
+            labels = np.asarray([s["label"] for s in samples], np.int32)
         return cls(
             arrays,
             labels,
@@ -147,6 +189,8 @@ class ResidentClips:
             seed=pipeline.seed,
             augmentation_frequency=pipeline.tile,
             drop_last=pipeline.drop_last,
+            preshuffle=preshuffle,
+            pad_to=pad_to,
         )
 
     @property
@@ -209,5 +253,6 @@ class ResidentClips:
                 "resident": self.resident,
                 "indices": idx.reshape(-1),
                 "valid": valid.reshape(-1),
-                "index": glob.reshape(-1),
+                # original clip ids (pre-preshuffle, pad rows cycled)
+                "index": self._orig_ids[glob.reshape(-1) % self.n],
             }

@@ -203,6 +203,7 @@ def train_member(
     train_step=None,
     eval_step=None,
     resident: bool = False,
+    resident_pad_to: Optional[int] = None,
 ) -> Dict[str, Any]:
     """One ensemble member end-to-end: fit → test eval → history artifact
     (reference train.py main, :1978-2051).  rgb_h5/flow_h5 supply pretrained
@@ -236,37 +237,35 @@ def train_member(
         config, layout, t, v, staging_hw=staging_hw, num_workers=num_workers
     )
     if resident:
+        # Pin the TRAIN split only: it is the one re-read every epoch
+        # (reference train.py:257-269).  Val/test stream through the
+        # standard pipelines + ONE dense eval step — a resident eval
+        # executable is shape-specialized per dataset size, and the test
+        # split is evaluated exactly once, so residency buys it nothing
+        # while holding its pixels in HBM for the whole run.
         from .data.resident import ResidentClips
+        from .train.engine import make_eval_step, make_resident_train_step
 
-        pipes = {
-            name: ResidentClips.from_pipeline(p, mesh=mesh)
-            for name, p in pipes.items()
-        }
+        pipes["train"] = ResidentClips.from_pipeline(
+            pipes["train"], mesh=mesh, preshuffle=seed,
+            pad_to=resident_pad_to,
+        )
+        out_hw = (bundle.clip.height, bundle.clip.width)
         if train_step is None:
-            from .train.callbacks import lr_policy_for
-            from .train.engine import (
-                R3D_L2_WEIGHT,
-                make_resident_eval_step,
-                make_resident_train_step,
-            )
-            from .train.state import make_optimizer
-
-            out_hw = (bundle.clip.height, bundle.clip.width)
-            optimizer = optimizer or make_optimizer(
-                config.model_type, lr_policy_for(config.model_type).initial_lr
-            )
-            l2w = R3D_L2_WEIGHT if config.model_type.startswith("R3D") else 0.0
+            tx, l2w, augment_flag = _step_policy(config, optimizer)
+            optimizer = tx
             train_step = make_resident_train_step(
                 bundle,
-                optimizer,
+                tx,
                 out_hw,
-                augment=(config.augmentation_status == "augmented_onTheFly"),
+                augment=augment_flag,
                 augment_p=0.75,
                 l2_weight=l2w,
                 mesh=mesh,
                 input_scale=input_scale,
             )
-            eval_step = make_resident_eval_step(
+        if eval_step is None:
+            eval_step = make_eval_step(
                 bundle, out_hw, mesh, input_scale=input_scale
             )
     ckpt_dir = layout.checkpoint_dir(config, t, v)
@@ -319,6 +318,23 @@ def train_member(
         "test_accuracy": test["accuracy"],
         "checkpoint_dir": ckpt_dir,
     }
+
+
+def _step_policy(config: ExperimentConfig, optimizer=None):
+    """The shared step-construction policy (optimizer default from the
+    model's LR policy, the R3D L2 rule, the on-the-fly augment flag) —
+    one definition for train_member's resident path and
+    launch_ensemble_training's shared-step block."""
+    from .train.callbacks import lr_policy_for
+    from .train.engine import R3D_L2_WEIGHT
+    from .train.state import make_optimizer
+
+    tx = optimizer or make_optimizer(
+        config.model_type, lr_policy_for(config.model_type).initial_lr
+    )
+    l2w = R3D_L2_WEIGHT if config.model_type.startswith("R3D") else 0.0
+    augment_flag = config.augmentation_status == "augmented_onTheFly"
+    return tx, l2w, augment_flag
 
 
 def member_cli_commands(
@@ -391,39 +407,32 @@ def launch_ensemble_training(
         and member_kwargs.get("bundle") is None
         and member_kwargs.get("mesh") is None
     ):
-        from .train.callbacks import lr_policy_for
         from .train.engine import (
-            R3D_L2_WEIGHT,
             make_eval_step,
-            make_resident_eval_step,
             make_resident_train_step,
             make_train_step,
         )
-        from .train.state import make_optimizer
 
         bundle = build_model(config.model_type, config.num_classes)
         out_hw = (bundle.clip.height, bundle.clip.width)
         input_scale = member_kwargs.get("input_scale")
         if input_scale is None:
             input_scale = config.input_scale
-        tx = member_kwargs.get("optimizer") or make_optimizer(
-            config.model_type, lr_policy_for(config.model_type).initial_lr
+        tx, l2w, augment_flag = _step_policy(
+            config, member_kwargs.get("optimizer")
         )
-        l2w = (
-            R3D_L2_WEIGHT if config.model_type.startswith("R3D") else 0.0
-        )
-        # resident mode gathers batches from HBM-resident arrays — the
-        # shared steps must be the resident variants (same compile-once
-        # sharing: all members use one gather+train executable).
+        # resident mode gathers train batches from HBM-resident arrays —
+        # the shared TRAIN step must be the resident variant (same
+        # compile-once sharing: all members use one gather+train
+        # executable; caveat: the resident executable is shape-specialized
+        # on the padded dataset size, so sharing across members assumes
+        # equal-sized splits — k-fold splits satisfy this, and a size
+        # mismatch only costs a retrace).  Val/test always stream through
+        # the one dense eval step (see train_member).
         mk_train = (
             make_resident_train_step
             if member_kwargs.get("resident")
             else make_train_step
-        )
-        mk_eval = (
-            make_resident_eval_step
-            if member_kwargs.get("resident")
-            else make_eval_step
         )
         member_kwargs.update(
             bundle=bundle,
@@ -432,12 +441,12 @@ def launch_ensemble_training(
                 bundle,
                 tx,
                 out_hw,
-                augment=(config.augmentation_status == "augmented_onTheFly"),
+                augment=augment_flag,
                 augment_p=0.75,
                 l2_weight=l2w,
                 input_scale=input_scale,
             ),
-            eval_step=mk_eval(bundle, out_hw, input_scale=input_scale),
+            eval_step=make_eval_step(bundle, out_hw, input_scale=input_scale),
         )
         if config.training_condition == "_PRETRAINED" and (
             member_kwargs.get("initial_variables") is None
@@ -454,6 +463,24 @@ def launch_ensemble_training(
                 member_kwargs.get("rgb_h5"),
                 member_kwargs.get("flow_h5"),
             )
+
+    if member_kwargs.get("resident") and (
+        member_kwargs.get("resident_pad_to") is None
+    ):
+        # Pad every member's resident train split to the LARGEST split so
+        # all k·(k−1) members share one shape-specialized executable
+        # (resident steps retrace per dataset size; that's minutes per
+        # member on backends with slow compiles).
+        factor = (
+            1 + config.augmentation_frequency
+            if config.augmentation_status == "augmented_precomputed"
+            else 1
+        )
+        sizes = [
+            len(pd.read_csv(layout.split_csv(t, v, "train")))
+            for t, v in split_pairs(config.folds_number)
+        ]
+        member_kwargs["resident_pad_to"] = max(sizes) * factor
 
     results = {}
     for t, v in split_pairs(config.folds_number):

@@ -485,6 +485,7 @@ def evaluate_model(
     correct = 0.0
     count = 0.0
     probs_all = [] if collect_probs else None
+    ids_all = [] if collect_probs else None
     from ..data.pipeline import prefetch_batches
 
     for batch in prefetch_batches(pipeline, epoch=0):
@@ -495,13 +496,20 @@ def evaluate_model(
         if collect_probs:
             valid = np.asarray(batch["valid"])
             probs_all.append(np.asarray(out["probs"])[valid])
+            if "index" in batch:
+                ids_all.append(np.asarray(batch["index"])[valid])
     res = {
         "loss": loss_sum / max(count, 1.0),
         "accuracy": correct / max(count, 1.0),
         "count": int(count),
     }
     if collect_probs:
-        res["probs"] = np.concatenate(probs_all, axis=0)
+        probs = np.concatenate(probs_all, axis=0)
+        if ids_all and len(ids_all) == len(probs_all):
+            # Restore dataset (clip-id) order — a mesh-sharded
+            # ResidentClips yields rows shard-interleaved, not in df order.
+            probs = probs[np.argsort(np.concatenate(ids_all), kind="stable")]
+        res["probs"] = probs
     return res
 
 

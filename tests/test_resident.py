@@ -258,6 +258,76 @@ def test_from_pipeline_roundtrip(tmp_path):
     assert rc.nbytes >= rc.resident["rgb"].nbytes
 
 
+def test_resident_tiny_dataset_on_big_mesh():
+    """pad > n regression: a dataset smaller than the shard count must
+    construct (cycled pad rows) and still cover every real clip once."""
+    rgb, labels = _data(n=3)
+    mesh = make_mesh((("data", -1),))
+    rc = ResidentClips({"rgb": rgb}, labels, batch_size=8, mesh=mesh)
+    assert rc.n_padded == 8
+    seen = []
+    for batch in rc.batches(0):
+        v = np.asarray(batch["valid"])
+        seen.extend(np.asarray(batch["index"])[v])
+    assert sorted(seen) == [0, 1, 2]
+
+
+def test_resident_preshuffle_and_pad_to():
+    """preshuffle permutes rows once (index reports ORIGINAL ids; labels
+    follow their pixels) and pad_to pins the padded size so differently
+    sized datasets share one step shape."""
+    rgb, labels = _data(n=10)
+    rc = ResidentClips(
+        {"rgb": rgb}, labels, batch_size=4, shuffle=False, preshuffle=7,
+        pad_to=16,
+    )
+    assert rc.n_padded == 16
+    seen = {}
+    for batch in rc.batches(0):
+        v = np.asarray(batch["valid"])
+        ids = np.asarray(batch["index"])[v]
+        rows = np.asarray(batch["indices"])[v]
+        for i, r in zip(ids, rows):
+            seen[int(i)] = int(r)
+    assert sorted(seen) == list(range(10))
+    # labels/pixels moved together under the permutation
+    for orig, row in seen.items():
+        assert int(np.asarray(rc.resident["label"])[row]) == labels[orig]
+        np.testing.assert_array_equal(
+            np.asarray(rc.resident["rgb"])[row], rgb[orig]
+        )
+
+    rc2 = ResidentClips(
+        {"rgb": rgb[:7]}, labels[:7], batch_size=4, shuffle=False, pad_to=16
+    )
+    assert rc2.resident["rgb"].shape == rc.resident["rgb"].shape
+
+
+def test_sharded_eval_probs_restore_dataset_order():
+    """evaluate_model(collect_probs=True) must return probs in clip-id
+    order even though a mesh-sharded ResidentClips yields rows
+    shard-interleaved."""
+    bundle = tiny_bundle()
+    rgb, labels = _data(n=16)
+    variables = bundle.init(jax.random.key(0), batch_size=1)
+    mesh = make_mesh((("data", -1),))
+    rc = ResidentClips({"rgb": rgb}, labels, batch_size=8, mesh=mesh, shuffle=False)
+    estep = make_resident_eval_step(bundle, (32, 32), mesh=mesh, input_scale=1 / 255.0)
+    out = evaluate_model(
+        bundle, variables, rc, (32, 32), mesh=mesh, collect_probs=True,
+        eval_step=estep,
+    )
+    # reference: dense eval on the clips in dataset order
+    dstep = make_eval_step(bundle, (32, 32), input_scale=1 / 255.0)
+    ref = dstep(
+        variables,
+        {"rgb": rgb, "label": labels, "valid": np.ones(16, bool)},
+    )
+    np.testing.assert_allclose(
+        out["probs"], np.asarray(ref["probs"]), atol=2e-5
+    )
+
+
 def test_resident_validation_errors():
     rgb, labels = _data(n=10)
     mesh = make_mesh((("data", -1),))
