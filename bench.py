@@ -304,6 +304,58 @@ def _flow_breakouts(results: dict):
         pass
 
 
+def _resident_breakout(results: dict, staging_reader):
+    """Opt-in (BENCH_RESIDENT=1): HBM-resident I3D TRAINING steady-state
+    rate — the split's staged clips upload once, epochs gather batches on
+    device (train.engine.make_resident_train_step), host ships int32
+    indices only.  Off by default: the I3D fwd+bwd compile through the
+    axon helper would risk the driver's bench window."""
+    import jax
+    import jax.numpy as jnp
+
+    from crowded_scenes_ensemble_classification_tpu.data.resident import (
+        ResidentClips,
+    )
+    from crowded_scenes_ensemble_classification_tpu.models import build_model
+    from crowded_scenes_ensemble_classification_tpu.train import (
+        TrainState,
+        make_optimizer,
+        make_resident_train_step,
+    )
+
+    b = int(os.environ.get("BENCH_RESIDENT_BATCH", "32"))
+    n = min(5 * b, len(staging_reader))
+    rgb, labels = staging_reader.read_batch(np.arange(n))
+    t0 = time.perf_counter()
+    rc = ResidentClips({"rgb": rgb}, labels, batch_size=b, seed=0)
+    _ = float(jnp.sum(rc.resident["label"].astype(jnp.int32)))  # sync upload
+    upload_s = time.perf_counter() - t0
+
+    bundle = build_model("I3D", num_classes=11, dtype=jnp.bfloat16)
+    tx = make_optimizer("I3D", 0.003)
+    step = make_resident_train_step(
+        bundle, tx, (SIZE, SIZE), augment=True, input_scale=1.0
+    )
+    state = TrainState.create(
+        bundle.init(jax.random.key(0), batch_size=1), tx, jax.random.key(1)
+    )
+    cw = jnp.ones((11,), jnp.float32)
+    state, m = step(state, next(iter(rc.batches(0))), cw)
+    _ = float(m["loss"])  # compile + sync
+
+    t0 = time.perf_counter()
+    n_steps = 0
+    for e in range(2):
+        for batch in rc.batches(e):
+            state, m = step(state, batch, cw)
+            n_steps += 1
+    _ = float(m["loss"])  # chain-sync
+    results["resident_train_clips_per_sec"] = round(
+        b * n_steps / (time.perf_counter() - t0), 2
+    )
+    results["resident_upload_s"] = round(upload_s, 1)
+
+
 def _arm_global_watchdog(finished: threading.Event):
     """If the device (axon relay) hangs, every float(carry) fetch blocks
     forever and the driver would record NO bench line at all.  After the
@@ -681,6 +733,11 @@ def main():
         results["twostream_e2e_clips_per_sec"] = round(
             tsb * n_ts / (time.perf_counter() - t0), 2
         )
+    if os.environ.get("BENCH_RESIDENT") == "1":
+        try:
+            _resident_breakout(results, staging_reader)
+        except Exception:
+            pass
     finished.set()
     print(json.dumps(results))
     if not done.is_set():

@@ -229,7 +229,10 @@ def make_wire_train_step(
     whenever the shipped windows equal the dense path's staged pixels
     (test_train.py parity test).  Two-stream pipelines keep the dense
     path: the reference computes flow from UNAUGMENTED staged frames
-    (train.py:195-221), which the augment-destined wire does not carry."""
+    (train.py:195-221), which the augment-destined wire does not carry —
+    for transfer-efficient two-stream TRAINING use the HBM-resident mode
+    instead (make_resident_train_step: gray pairs upload once and flow is
+    computed on device every epoch)."""
     if bundle.two_stream:
         raise ValueError("wire-fed training is RGB-only (see docstring)")
 

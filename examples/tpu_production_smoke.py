@@ -79,3 +79,20 @@ rc = cli(["ensemble", "-mt", "TWOSTREAM_I3D", "-fn", "3", "--work-dir",
           work_ts, "--operation", "evaluate", "-wt", "SUM"])
 assert rc == 0
 print(f"[{time.time()-t0:.0f}s] twostream ensemble ok — round-3b smoke PASSED")
+
+# ---- round-3c: HBM-resident training on-chip --------------------------
+# One member trained with --resident: the split's staged clips upload
+# once, epochs gather batches on device (host ships int32 indices only).
+work_r = os.path.join(root, "work_res")
+rc = cli([
+    "launch", "-mt", "C3D", "-fn", "3", "--work-dir", work_r,
+    "-df", data, "--runner", "commands", "--resident",
+])
+assert rc == 0
+rc = cli([
+    "train", "-mt", "C3D", "-fn", "3", "--work-dir", work_r,
+    "-t", "0", "-v", "1", "--epochs", "2", "-bs", "4",
+    "--input-scale", "0.00392", "--resident",
+])
+assert rc == 0
+print(f"[{time.time()-t0:.0f}s] resident train ok — round-3c smoke PASSED")
