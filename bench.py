@@ -393,6 +393,8 @@ def main():
 
     finished = threading.Event()
     _arm_global_watchdog(finished)
+    if os.environ.get("BENCH_CRASH_TEST") == "1":  # test hook (driver
+        raise RuntimeError("crash-test hook")  # contract smoke)
 
     if os.environ.get("BENCH_FORCE_CPU") == "1":
         # smoke-test mode (tests/test_bench_smoke.py): the sitecustomize
@@ -746,4 +748,29 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # Driver contract: ONE JSON line, always.  A dead axon relay makes
+    # backend init itself raise (observed round 3: RuntimeError 'Unable to
+    # initialize backend axon' with zero output) — the failure mode must be
+    # 'value 0 with an error field', never a bare traceback.
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — anything before the print
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_ensemble_inference_clips_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "clips/s decode-inclusive",
+                    "vs_baseline": 0.0,
+                    "error": (
+                        "bench crashed before measuring: "
+                        f"{type(e).__name__}: {e}"
+                    )[:500],
+                }
+            )
+        )
+        sys.exit(1)

@@ -59,3 +59,26 @@ def test_bench_driver_contract_smoke():
     # the headline wire ships 4:2:0 — half the bytes of full-chroma rgb
     assert results["wire_colorspace"] == "yuv420"
     assert results["wire_mb_per_clip"] < 1.6
+
+
+def test_bench_crash_still_prints_one_json_line():
+    """A bench that dies before measuring (e.g. the axon relay refuses to
+    initialize — observed live in round 3) must still print exactly ONE
+    diagnostic JSON line with value 0, never a bare traceback."""
+    env = dict(os.environ, BENCH_FORCE_CPU="1", BENCH_CRASH_TEST="1")
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "bench.py")],
+        capture_output=True,
+        text=True,
+        cwd=REPO_ROOT,
+        timeout=300,
+        env=env,
+    )
+    assert proc.returncode == 1
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, lines
+    results = json.loads(lines[0])
+    assert results["value"] == 0.0
+    assert "crash-test hook" in results["error"]
+    assert "RuntimeError" in proc.stderr
