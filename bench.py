@@ -356,6 +356,17 @@ def _resident_breakout(results: dict, staging_reader):
     results["resident_upload_s"] = round(upload_s, 1)
 
 
+_PROGRESS: list = []
+
+
+def _mark(stage: str) -> None:
+    """Record stage completion for the watchdog's diagnostic line — a
+    killed run then says WHERE it was stuck (cache build vs compile vs
+    measure vs breakouts), which is the difference between 'relay dead'
+    and 'budget too small for this stage'."""
+    _PROGRESS.append(f"{stage}@{time.strftime('%H:%M:%S')}")
+
+
 def _arm_global_watchdog(finished: threading.Event):
     """If the device (axon relay) hangs, every float(carry) fetch blocks
     forever and the driver would record NO bench line at all.  After the
@@ -379,6 +390,7 @@ def _arm_global_watchdog(finished: threading.Event):
                         f"global watchdog: device unresponsive for {budget:.0f}s "
                         "(axon relay hang?) — no measurement completed"
                     ),
+                    "progress": _PROGRESS[-8:],
                 }
             )
         )
@@ -445,7 +457,9 @@ def main():
     prestaged = bundle.module.clone(stem_prestaged=True)
 
     n_clips = CACHE_BATCHES * BATCH
+    _mark("model_init")
     staging_reader, eval_reader = _build_caches(n_clips)
+    _mark("caches_ready")
     key = jax.random.key(1)
 
     # ---- RAGGED wire format (data.wire_format) -------------------------
@@ -519,6 +533,7 @@ def main():
     staged = jax.device_put(first)
     staged_off = jax.device_put(first_off)
     float(pipeline(stacked, staged, staged_off, key, jnp.uint32(0), jnp.int32(0)))
+    _mark("pipeline_compiled")
 
     # ---- host pipeline rate (threaded C++ pread + pack, steady-state) ---
     for b in range(CACHE_BATCHES):
@@ -527,6 +542,7 @@ def main():
     for b in range(CACHE_BATCHES):
         read_and_pack(b, b)
     host_read_cps = n_clips / (time.perf_counter() - t0)
+    _mark("host_read_measured")
 
     # ---- effective host→device bandwidth on a real packed buffer -------
     sync = jax.jit(lambda x: jnp.sum(x[:64].astype(jnp.int32)))
@@ -546,6 +562,7 @@ def main():
         carry = pipeline(stacked, staged, staged_off, key, jnp.uint32(0), carry)
     float(carry)
     device_cps = BATCH * iters / (time.perf_counter() - t0)
+    _mark("device_pipeline_measured")
 
     # ---- END-TO-END: feeder thread (read → pack → device_put) → step ----
     # device_put happens IN the feeder so the wire transfer overlaps the
@@ -575,6 +592,7 @@ def main():
         n_steps += 1
     float(carry)
     e2e_cps = BATCH * n_steps / (time.perf_counter() - t0)
+    _mark("e2e_measured")
 
     results = {
         "metric": "e2e_ensemble_inference_clips_per_sec_per_chip",
@@ -604,6 +622,7 @@ def main():
     import sys
 
     extra: dict = {}
+    _mark("breakouts_start")
     done = threading.Event()
     if os.environ.get("BENCH_SKIP_BREAKOUTS") == "1":
         done.set()

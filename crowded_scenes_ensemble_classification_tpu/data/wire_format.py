@@ -120,6 +120,18 @@ def plan_wire_steps(
     host CPU backend) and the exact max wire size."""
     if colorspace not in ("rgb", "yuv420"):
         raise ValueError(f"unknown wire colorspace {colorspace!r}")
+    ch = max(staging_hw[0] - crop_margin, 1)
+    cw = max(staging_hw[1] - crop_margin, 1)
+    if ch > out_hw[0] or cw > out_hw[1]:
+        # The windowed-augment protocol ships each crop window inside an
+        # out_hw-sized buffer (ops.augment.crowd11_augment_windowed), so
+        # the window must fit.  E.g. C3D (out 112²) needs staging_hw ≤
+        # (112+margin)² = 172² on the wire path; I3D's 256²→224² fits.
+        raise ValueError(
+            f"crop window {(ch, cw)} (staging−margin) exceeds out_hw "
+            f"{tuple(out_hw)} — the wire ships crop windows inside an "
+            "out_hw buffer; lower staging_hw or raise crop_margin"
+        )
     if colorspace == "yuv420":
         if any(d % 2 for d in (*staging_hw, *out_hw)):
             raise ValueError(
@@ -140,10 +152,12 @@ def plan_wire_steps(
     crop_bytes = plan.crop_bytes
     full_bytes = plan.full_bytes
     steps = {}
-    # Floor at full_bytes: the device unpack dynamic-slices a full-size
-    # window at every offset, so an all-crop plan (small batches / high p)
-    # must still leave room for one full slice.
-    cap = full_bytes
+    # Floor at max(full, crop) bytes: the device unpack dynamic-slices
+    # BOTH a crop-size and a full-size window at every offset, so an
+    # all-crop plan (small batches / high p) must still leave room for
+    # one full slice — and an all-full plan for one crop slice (crop can
+    # exceed full when staging−margin is larger than out_hw).
+    cap = max(full_bytes, crop_bytes)
     for s in range(num_steps):
         do_crop, y0, x0 = augment_crop_decisions(
             key, batch_size, staging_hw, p=p, crop_margin=crop_margin,
@@ -197,7 +211,7 @@ def shard_wire_plan(plan: WirePlan, n_shards: int) -> ShardedWirePlan:
         )
     bs = plan.batch_size // n_shards
     crop_bytes, full_bytes = plan.crop_bytes, plan.full_bytes
-    cap = full_bytes
+    cap = max(full_bytes, crop_bytes)
     steps: Dict[int, np.ndarray] = {}
     for s, (do_crop, _y0, _x0, _off) in plan.steps.items():
         sizes = np.where(do_crop, crop_bytes, full_bytes).astype(np.int64)
@@ -228,11 +242,12 @@ def pack_sharded_wires(
     full_cum = np.concatenate([[0], np.cumsum((~do_crop).reshape(splan.n_shards, bs).sum(axis=1))])
     for d in range(splan.n_shards):
         view = splan.shard_view(step, d)
-        wires[d], _ = pack_ragged_windows(
+        pack_ragged_windows(
             view,
             step,
             staging[crop_cum[d] : crop_cum[d + 1]],
             eval_u8[full_cum[d] : full_cum[d + 1]],
+            out=wires[d],
         )
     return wires, splan.steps[step]
 
@@ -251,6 +266,15 @@ def make_sharded_wire_unpack(splan: ShardedWirePlan, mesh, data_axis: str = "dat
 
     from jax.sharding import PartitionSpec as P
 
+    axis_size = mesh.shape[data_axis]
+    if axis_size != splan.n_shards:
+        # A divisor mesh would silently read only wire_rows[0] per block
+        # and pair kept rows with the wrong clip keys — refuse loudly.
+        raise ValueError(
+            f"plan sharded {splan.n_shards} ways but mesh axis "
+            f"{data_axis!r} has {axis_size} devices"
+        )
+
     one = _make_clip_unpack(dataclasses.replace(splan.base, cap=splan.cap))
     batch_size = splan.base.batch_size
     bs = splan.shard_batch
@@ -268,17 +292,12 @@ def make_sharded_wire_unpack(splan: ShardedWirePlan, mesh, data_axis: str = "dat
             lambda args: one(wire, args[0], args[1]), (off_rows[0], keys)
         )
 
-    sharded = shard_map(
+    return shard_map(
         _unpack_shard,
         mesh=mesh,
         in_specs=(P(data_axis, None), P(data_axis, None), P()),
         out_specs=P(data_axis),
     )
-
-    def unpack(wires, offsets, step_key):
-        return sharded(wires, offsets, step_key)
-
-    return unpack
 
 
 def _even_origin(o: int, ship: int, limit: int) -> int:
@@ -305,17 +324,21 @@ def pack_ragged_windows(
     step: int,
     staging: np.ndarray,
     eval_u8: np.ndarray,
+    out: "np.ndarray | None" = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side ragged pack — pure indexing (rgb) or indexing + the
     decoder's native I420 representation (yuv420).  `staging` holds the
     cropped clips' staging frames in decision order (only those clips);
     `eval_u8` the uncropped clips' decode-time resizes (only those).
-    Returns (wire (cap,) u8, offsets (B,) i32)."""
+    Returns (wire (cap,) u8, offsets (B,) i32).  `out`: preallocated
+    zeroed (cap,) u8 buffer to fill in place (pack_sharded_wires passes
+    its per-shard rows to avoid a second cap-sized alloc+copy on the
+    feeder path)."""
     do_crop, y0, x0, offsets = plan.steps[step]
     yuv = plan.colorspace == "yuv420"
     sh, sw = plan.crop_ship_hw
     hh, ww = plan.staging_hw
-    wire = np.zeros(plan.cap, np.uint8)
+    wire = np.zeros(plan.cap, np.uint8) if out is None else out
     crop_pos = np.nonzero(do_crop)[0]
     full_pos = np.nonzero(~do_crop)[0]
     for j, i in enumerate(crop_pos):

@@ -539,3 +539,47 @@ def test_shard_wire_plan_rejects_uneven_batch():
     )
     with pytest.raises(ValueError, match="divisible"):
         shard_wire_plan(plan, 4)
+
+
+def test_sharded_wire_unpack_rejects_mesh_mismatch():
+    """A plan sharded N ways on a mesh with a different data-axis size
+    would silently read only wire_rows[0] per block and pair rows with
+    the wrong clip keys — must refuse at build time."""
+    import jax
+
+    from crowded_scenes_ensemble_classification_tpu.core.mesh import make_mesh
+    from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
+        make_sharded_wire_unpack,
+        plan_wire_steps,
+        shard_wire_plan,
+    )
+
+    plan = plan_wire_steps(
+        jax.random.key(0), 1, 8, 2, (32, 32), (24, 24), crop_margin=8
+    )
+    splan = shard_wire_plan(plan, 4)
+    mesh = make_mesh((("data", -1),))  # 8 devices ≠ 4 shards
+    with pytest.raises(ValueError, match="mesh axis"):
+        make_sharded_wire_unpack(splan, mesh)
+
+
+def test_ragged_wire_rejects_crop_window_exceeding_out():
+    """The windowed-augment wire ships each crop window inside an
+    out_hw-sized buffer, so a geometry whose crop window exceeds out_hw
+    (e.g. C3D's 112² with 256² staging) must be rejected loudly at plan
+    time instead of failing deep inside the device unpack."""
+    import jax
+
+    from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
+        plan_wire_steps,
+    )
+
+    with pytest.raises(ValueError, match="exceeds out_hw"):
+        plan_wire_steps(
+            jax.random.key(21), 2, 1, 2, (64, 64), (24, 24), crop_margin=8
+        )
+    # raising the margin so the window fits makes the same geometry legal
+    plan = plan_wire_steps(
+        jax.random.key(21), 2, 1, 2, (64, 64), (24, 24), crop_margin=40
+    )
+    assert plan.crop_hw == (24, 24)
