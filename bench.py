@@ -622,6 +622,7 @@ def main():
     import sys
 
     extra: dict = {}
+    hard_exit = False
     _mark("breakouts_start")
     done = threading.Event()
     if os.environ.get("BENCH_SKIP_BREAKOUTS") == "1":
@@ -755,13 +756,39 @@ def main():
             tsb * n_ts / (time.perf_counter() - t0), 2
         )
     if os.environ.get("BENCH_RESIDENT") == "1":
-        try:
-            _resident_breakout(results, staging_reader)
-        except Exception:
-            pass
+        if not done.is_set():
+            # the flow-breakout thread timed out and its abandoned compile
+            # is still running — a concurrent measurement on the
+            # single-core host would poison both (MEMORY.md)
+            results["resident_error"] = "skipped: flow breakout timed out"
+        else:
+            # same protection as the flow breakouts: a hang here must not
+            # forfeit the already-measured primary line
+            _mark("resident_start")
+            rdone = threading.Event()
+
+            def _resident():
+                try:
+                    _resident_breakout(results, staging_reader)
+                except Exception as e:  # diagnosable, never fatal
+                    results["resident_error"] = (
+                        f"{type(e).__name__}: {e}"
+                    )[:200]
+                rdone.set()
+
+            rth = threading.Thread(target=_resident, daemon=True)
+            rth.start()
+            rth.join(
+                timeout=float(os.environ.get("BENCH_RESIDENT_TIMEOUT_S", "2700"))
+            )
+            if not rdone.is_set():
+                results["resident_error"] = "timeout: resident breakout hung"
+                hard_exit = True
     finished.set()
     print(json.dumps(results))
-    if not done.is_set():
+    if hard_exit or not done.is_set():
+        # an abandoned breakout thread would otherwise keep the process
+        # alive past the driver's patience
         sys.stdout.flush()
         os._exit(0)
 

@@ -470,17 +470,20 @@ def launch_ensemble_training(
         # Pad every member's resident train split to the LARGEST split so
         # all k·(k−1) members share one shape-specialized executable
         # (resident steps retrace per dataset size; that's minutes per
-        # member on backends with slow compiles).
-        factor = (
-            1 + config.augmentation_frequency
-            if config.augmentation_status == "augmented_precomputed"
-            else 1
+        # member on backends with slow compiles).  Sizes come from the
+        # same expansion _pipelines_for_split applies — one source of
+        # truth for the row count.
+        def _train_rows(t: int, v: int) -> int:
+            df = pd.read_csv(layout.split_csv(t, v, "train"))
+            if config.augmentation_status == "augmented_precomputed":
+                df = expand_precomputed_augmentation(
+                    df, config.augmentation_frequency
+                )
+            return len(df)
+
+        member_kwargs["resident_pad_to"] = max(
+            _train_rows(t, v) for t, v in split_pairs(config.folds_number)
         )
-        sizes = [
-            len(pd.read_csv(layout.split_csv(t, v, "train")))
-            for t, v in split_pairs(config.folds_number)
-        ]
-        member_kwargs["resident_pad_to"] = max(sizes) * factor
 
     results = {}
     for t, v in split_pairs(config.folds_number):
