@@ -62,6 +62,21 @@ def _add_config_flags(p: argparse.ArgumentParser):
              "by launch/train for this config in the work dir, else 1.0 = "
              "reference parity raw 0-255 floats)",
     )
+    p.add_argument(
+        "--mesh-data", type=int, default=None, metavar="N",
+        help="shard batches (and resident datasets) over an N-device "
+             "data-parallel jax.sharding.Mesh; -1 = all local devices "
+             "(used by train/launch/probs; other subcommands ignore it)",
+    )
+
+
+def _mesh_from_args(args):
+    n = getattr(args, "mesh_data", None)
+    if not n:
+        return None
+    from ..core.mesh import make_mesh
+
+    return make_mesh((("data", n),))
 
 
 def _config_from_args(args) -> ExperimentConfig:
@@ -285,7 +300,7 @@ def main(argv=None) -> int:
         out = launch_ensemble_training(
             config, table, args.work_dir, runner=args.runner,
             rgb_h5=args.rgb_h5, flow_h5=args.flow_h5,
-            resident=args.resident,
+            resident=args.resident, mesh=_mesh_from_args(args),
         )
         if args.runner == "commands":
             print("\n".join(out))
@@ -312,6 +327,7 @@ def main(argv=None) -> int:
             rgb_h5=args.rgb_h5,
             flow_h5=args.flow_h5,
             resident=args.resident,
+            mesh=_mesh_from_args(args),
         )
         print(
             f"test_acc={out['test_accuracy']:.4f} test_loss={out['test_loss']:.4f} "
@@ -333,6 +349,7 @@ def main(argv=None) -> int:
         for t in tests:
             path = cache_probabilities(
                 config, layout, t, args.subset,
+                mesh=_mesh_from_args(args),
                 long_video=args.long_video,
                 window_stride=args.window_stride,
                 long_frames=args.long_frames,

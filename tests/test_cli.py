@@ -363,3 +363,39 @@ def test_input_scale_resolution_from_saved_config(tmp_path):
          "--num-classes", "3"]
     )
     assert _config_from_args(other).input_scale == 1.0
+
+
+def test_mesh_data_flag_builds_mesh_and_threads_through(tmp_path, monkeypatch):
+    """--mesh-data N constructs an N-device data mesh and passes it to
+    train_member (multi-chip training drivable from the CLI)."""
+    from crowded_scenes_ensemble_classification_tpu import orchestration
+
+    captured = {}
+
+    def fake_prepare(config, table, work_dir):
+        return orchestration.WorkLayout(str(tmp_path / "work"))
+
+    def fake_train_member(config, layout, t, v, **kw):
+        captured["mesh"] = kw.get("mesh")
+        captured["resident"] = kw.get("resident")
+        return {"test_accuracy": 0.5, "test_loss": 1.0, "best_val_loss": 1.0,
+                "history": {}, "checkpoint_dir": str(tmp_path)}
+
+    monkeypatch.setattr(orchestration, "prepare_ensemble", fake_prepare)
+    monkeypatch.setattr(orchestration, "train_member", fake_train_member)
+    rc = main([
+        "train", "--work-dir", str(tmp_path / "work"), "-mt", "C3D",
+        "-fn", "3", "-t", "0", "-v", "1", "--mesh-data", "-1", "--resident",
+    ])
+    assert rc == 0
+    mesh = captured["mesh"]
+    assert mesh is not None and mesh.shape["data"] == 8  # virtual CPU mesh
+    assert captured["resident"] is True
+
+    # no flag → no mesh
+    rc = main([
+        "train", "--work-dir", str(tmp_path / "work"), "-mt", "C3D",
+        "-fn", "3", "-t", "0", "-v", "1",
+    ])
+    assert rc == 0
+    assert captured["mesh"] is None
