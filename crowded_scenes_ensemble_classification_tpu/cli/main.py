@@ -163,6 +163,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pin the split's staged clips in device memory "
                         "once; see launch --resident")
 
+    p = sub.add_parser(
+        "export",
+        help="export one test fold's fused ensemble as a StableHLO "
+             "serving artifact (member weights baked in; runs on any "
+             "platform chosen at export time, no framework needed)",
+    )
+    _add_config_flags(p)
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--test-index", "-t", type=int, required=True)
+    p.add_argument("--out", required=True, help="artifact path (.zip)")
+    p.add_argument("--serve-batch", type=int, default=None,
+                   help="batch size baked into the artifact signature "
+                        "(default: --batch-size)")
+    p.add_argument("--platforms", default="tpu",
+                   help="comma-separated lowering targets (tpu,cpu,cuda); "
+                        "TPU artifacts can be produced on a CPU-only host")
+    p.add_argument("--weights-npy", default=None,
+                   help="fusion weights .npy (e.g. learned GRID_SEARCH / "
+                        "DIFFERENTIAL_EVOLUTION weights); default: equal "
+                        "SUM weights")
+
     p = sub.add_parser("probs", help="cache member softmax probabilities")
     _add_config_flags(p)
     p.add_argument("--work-dir", required=True)
@@ -333,6 +354,49 @@ def main(argv=None) -> int:
             f"test_acc={out['test_accuracy']:.4f} test_loss={out['test_loss']:.4f} "
             f"best_val_loss={out['best_val_loss']:.4f}"
         )
+        return 0
+
+    if args.command == "export":
+        from ..models import build_model
+        from ..orchestration import WorkLayout, _member_variables
+        from ..serving import (
+            export_ensemble,
+            save_serving_artifact,
+            serving_batch_example,
+        )
+
+        config = _config_from_args(args)
+        layout = WorkLayout(args.work_dir)
+        bundle = build_model(config.model_type, config.num_classes)
+        variables, names = _member_variables(config, layout, bundle, args.test_index)
+        weights = np.load(args.weights_npy) if args.weights_npy else None
+        example = serving_batch_example(
+            bundle,
+            args.serve_batch or config.batch_size,
+            flow_precomputed=(config.optical_flow_status == "TVL1_precomputed"),
+        )
+        platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
+        blob = export_ensemble(
+            bundle,
+            variables,
+            example,
+            weights=weights,
+            input_scale=config.input_scale,
+            platforms=platforms,
+        )
+        meta = {
+            "model_type": config.model_type,
+            "num_classes": config.num_classes,
+            "test_index": args.test_index,
+            "members": names,
+            "input_scale": config.input_scale,
+            "platforms": platforms,
+            "fusion_weights": (
+                [1.0] * len(names) if weights is None else np.asarray(weights).tolist()
+            ),
+            "input_spec": {k: list(v.shape) for k, v in example.items()},
+        }
+        print(save_serving_artifact(args.out, blob, meta))
         return 0
 
     if args.command == "probs":

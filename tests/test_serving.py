@@ -1,0 +1,185 @@
+"""Serving-export tests: the fused ensemble round-trips through a
+StableHLO artifact (jax.export) and reproduces the production member
+forward exactly; TPU artifacts can be lowered on this CPU host.
+
+Replaces the reference's deployment story — rebuilding the Keras graph
+and running predict_generator per member (evaluate_ensemble.py:1032-1063)
+— with a self-contained versioned module.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crowded_scenes_ensemble_classification_tpu.core.config import ClipSpec
+from crowded_scenes_ensemble_classification_tpu.ensemble.members import (
+    make_member_forward,
+    stack_variables,
+)
+from crowded_scenes_ensemble_classification_tpu.models import C3D
+from crowded_scenes_ensemble_classification_tpu.models.registry import ModelBundle
+from crowded_scenes_ensemble_classification_tpu.serving import (
+    export_ensemble,
+    load_serving_artifact,
+    save_serving_artifact,
+    serving_batch_example,
+)
+
+
+def tiny_bundle(num_classes=3):
+    return ModelBundle(
+        model_type="C3D",
+        module=C3D(num_classes=num_classes, width=0.125),
+        clip=ClipSpec(frames=16, height=32, width=32),
+        num_classes=num_classes,
+        two_stream=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def ensemble():
+    bundle = tiny_bundle()
+    variables = [bundle.init(jax.random.key(i)) for i in range(2)]
+    return bundle, variables
+
+
+def test_export_roundtrip_matches_member_forward(ensemble, tmp_path):
+    bundle, variables = ensemble
+    example = serving_batch_example(bundle, batch_size=4)
+    rng = np.random.default_rng(0)
+    batch = {"rgb": rng.integers(0, 255, example["rgb"].shape).astype(np.uint8)}
+
+    blob = export_ensemble(
+        bundle, variables, example, input_scale=1 / 255.0, platforms=("cpu",)
+    )
+    path = save_serving_artifact(
+        str(tmp_path / "ens.zip"), blob,
+        {"model_type": "C3D", "members": ["m0", "m1"]},
+    )
+    serve, meta = load_serving_artifact(path)
+    assert meta["members"] == ["m0", "m1"]
+    assert serve.platforms == ("cpu",)
+    out = serve(batch)
+
+    fwd = make_member_forward(bundle, (32, 32), input_scale=1 / 255.0)
+    want = np.asarray(fwd(stack_variables(variables), batch))
+    np.testing.assert_allclose(np.asarray(out["probs"]), want, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out["fused"]), want.sum(0), atol=1e-6
+    )
+    assert np.asarray(out["preds"]).shape == (4,)
+    np.testing.assert_array_equal(
+        np.asarray(out["preds"]), want.sum(0).argmax(-1)
+    )
+
+
+def test_export_custom_fusion_weights(ensemble, tmp_path):
+    bundle, variables = ensemble
+    example = serving_batch_example(bundle, batch_size=2)
+    w = np.asarray([0.75, 0.25], np.float32)
+    blob = export_ensemble(
+        bundle, variables, example, weights=w, input_scale=1 / 255.0,
+        platforms=("cpu",),
+    )
+    serve, _ = load_serving_artifact(
+        save_serving_artifact(str(tmp_path / "w.zip"), blob, {})
+    )
+    rng = np.random.default_rng(1)
+    batch = {"rgb": rng.integers(0, 255, example["rgb"].shape).astype(np.uint8)}
+    out = serve(batch)
+    probs = np.asarray(out["probs"])
+    np.testing.assert_allclose(
+        np.asarray(out["fused"]), np.einsum("mbc,m->bc", probs, w), atol=1e-6
+    )
+
+
+def test_export_tpu_platform_lowering_on_cpu_host(ensemble):
+    """TPU serving artifacts must be producible on a CPU-only host —
+    jax.export lowering is ahead-of-time and cross-platform."""
+    bundle, variables = ensemble
+    example = serving_batch_example(bundle, batch_size=1)
+    blob = export_ensemble(
+        bundle, variables, example, input_scale=1 / 255.0, platforms=("tpu",)
+    )
+    assert len(blob) > 1000
+    exp = jax.export.deserialize(blob)
+    assert exp.platforms == ("tpu",)
+
+
+def test_serving_batch_example_two_stream_shapes():
+    bundle = ModelBundle(
+        model_type="TWOSTREAM_I3D",
+        module=None,
+        clip=ClipSpec(frames=8, height=16, width=16),
+        num_classes=3,
+        two_stream=True,
+    )
+    ex = serving_batch_example(bundle, 2, flow_precomputed=True)
+    assert ex["flow"].shape == (2, 8, 16, 16, 2)
+    ex = serving_batch_example(bundle, 2, flow_precomputed=False)
+    assert ex["gray"].shape == (2, 8, 16, 16, 1)
+    assert ex["gray_next"].shape == (2, 8, 16, 16, 1)
+
+
+def test_export_cli_end_to_end(tmp_path):
+    """The export subcommand: train-member checkpoints → one artifact."""
+    import optax
+
+    from crowded_scenes_ensemble_classification_tpu.cli.main import main
+    from crowded_scenes_ensemble_classification_tpu.core.config import (
+        ExperimentConfig,
+    )
+    from crowded_scenes_ensemble_classification_tpu.data import (
+        generate_synthetic_dataset,
+    )
+    from crowded_scenes_ensemble_classification_tpu.orchestration import (
+        prepare_ensemble,
+        train_member,
+    )
+
+    df = generate_synthetic_dataset(
+        str(tmp_path / "data"), num_scenes=6, clips_per_scene=2,
+        num_classes=3, num_frames=16, hw=(40, 40), as_videos=False,
+    )
+    config = ExperimentConfig(
+        model_type="C3D", folds_number=3, num_classes=3, batch_size=4,
+        epochs=1, input_scale=1 / 255.0,
+    )
+    layout = prepare_ensemble(config, df, str(tmp_path / "work"))
+    bundle = tiny_bundle()
+    for v in (1, 2):
+        train_member(
+            config, layout, 0, v, epochs=1, bundle=bundle,
+            staging_hw=(40, 40), num_workers=2,
+            optimizer=optax.inject_hyperparams(optax.adam)(learning_rate=2e-3),
+        )
+
+    out_path = str(tmp_path / "fold0.zip")
+    # NOTE: the CLI builds the FULL-size C3D; the checkpoints above are
+    # tiny-width, so restore would fail — monkeypatching build_model keeps
+    # this a CPU-friendly e2e of the real dispatch path.
+    import crowded_scenes_ensemble_classification_tpu.models as models_pkg
+
+    orig = models_pkg.build_model
+    models_pkg.build_model = lambda mt, nc, **kw: tiny_bundle(nc)
+    try:
+        rc = main([
+            "export", "--work-dir", str(tmp_path / "work"), "-mt", "C3D",
+            "-fn", "3", "--num-classes", "3", "-t", "0",
+            "--out", out_path, "--serve-batch", "2", "--platforms", "cpu",
+        ])
+    finally:
+        models_pkg.build_model = orig
+    assert rc == 0
+    serve, meta = load_serving_artifact(out_path)
+    assert len(meta["members"]) == 2
+    assert meta["input_scale"] == pytest.approx(1 / 255.0)
+    rng = np.random.default_rng(2)
+    out = serve({"rgb": rng.integers(0, 255, (2, 16, 32, 32, 3)).astype(np.uint8)})
+    probs = np.asarray(out["probs"])
+    assert probs.shape == (2, 2, 3)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
