@@ -125,6 +125,49 @@ def test_serving_batch_example_two_stream_shapes():
     assert ex["gray_next"].shape == (2, 8, 16, 16, 1)
 
 
+def test_export_two_stream_with_device_flow(tmp_path):
+    """The flow-inclusive serving artifact: the exported module contains
+    the on-device Farnebäck solver (gray pairs in, flow computed inside)
+    plus both trunks and fusion — the reference's whole TwoStream predict
+    path (train.py:148-242 + evaluate_ensemble.py:1032-1063) as one
+    deployable module."""
+    from crowded_scenes_ensemble_classification_tpu.models import TwoStreamI3D
+
+    bundle = ModelBundle(
+        model_type="TWOSTREAM_I3D",
+        module=TwoStreamI3D(num_classes=2),
+        clip=ClipSpec(frames=16, height=64, width=64, flow_channels=2),
+        num_classes=2,
+        two_stream=True,
+    )
+    variables = [
+        bundle.module.init(
+            jax.random.key(i),
+            jnp.zeros((1, 16, 64, 64, 3)),
+            jnp.zeros((1, 16, 64, 64, 2)),
+            train=False,
+        )
+        for i in range(2)
+    ]
+    example = serving_batch_example(bundle, 2, flow_precomputed=False)
+    blob = export_ensemble(
+        bundle, variables, example, input_scale=1 / 255.0, platforms=("cpu",)
+    )
+    serve, _ = load_serving_artifact(
+        save_serving_artifact(str(tmp_path / "ts.zip"), blob, {})
+    )
+    rng = np.random.default_rng(3)
+    batch = {
+        "rgb": rng.integers(0, 255, (2, 16, 64, 64, 3)).astype(np.uint8),
+        "gray": rng.integers(0, 255, (2, 16, 64, 64, 1)).astype(np.uint8),
+        "gray_next": rng.integers(0, 255, (2, 16, 64, 64, 1)).astype(np.uint8),
+    }
+    out = serve(batch)
+    fwd = make_member_forward(bundle, (64, 64), input_scale=1 / 255.0)
+    want = np.asarray(fwd(stack_variables(variables), batch))
+    np.testing.assert_allclose(np.asarray(out["probs"]), want, atol=1e-5)
+
+
 def test_export_cli_end_to_end(tmp_path):
     """The export subcommand: train-member checkpoints → one artifact."""
     import optax
