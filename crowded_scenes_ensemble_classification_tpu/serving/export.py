@@ -70,6 +70,9 @@ def export_ensemble(
     share_stem_staging: bool = False,
     flow_fast_warp: bool = False,
     flow_params: Optional[dict] = None,
+    mesh=None,
+    member_axis: str = "member",
+    data_axis: str = "data",
 ) -> bytes:
     """Serialize the fused ensemble forward to StableHLO bytes.
 
@@ -77,23 +80,55 @@ def export_ensemble(
     (same resize/scale/flow conventions — members must be served at the
     scale they trained with) followed by weighted SUM fusion
     (ensemble.fusion._fuse_weighted semantics, reference
-    evaluate_ensemble.py:362-366).  Member parameters and fusion weights
-    are baked into the module as constants."""
+    evaluate_ensemble.py:362-366).
+
+    mesh=None (single-chip artifact): member parameters and fusion
+    weights are baked into the module as constants — one self-contained
+    file.  With a mesh (MULTI-CHIP serving): the exported module takes
+    (stacked_vars, batch) with the SPMD member/data shardings recorded
+    (jax.export preserves them; the load-time device count must match),
+    and the serving runtime supplies the sharded parameters — the
+    standard split for multi-host deployment.  Sharded modules are
+    exported for the current platform (export on the target mesh);
+    `platforms` applies to the single-chip form."""
     out_hw = (bundle.clip.height, bundle.clip.width)
     fwd = make_member_forward(
         bundle,
         out_hw,
+        mesh=mesh,
+        member_axis=member_axis,
+        data_axis=data_axis,
         input_scale=input_scale,
         share_stem_staging=share_stem_staging,
         flow_fast_warp=flow_fast_warp,
         flow_params=flow_params,
     )
-    stacked = stack_variables(variables_list)
     w = (
         jnp.ones((len(variables_list),), jnp.float32)
         if weights is None
         else jnp.asarray(weights, jnp.float32)
     )
+
+    if mesh is not None:
+        from ..ensemble.members import shard_stacked
+
+        stacked = shard_stacked(
+            stack_variables(variables_list), mesh, member_axis
+        )
+
+        @jax.jit
+        def serve_sharded(stacked_vars, batch):
+            probs = fwd(stacked_vars, batch)  # (M, B, C)
+            fused = jnp.einsum("mbc,m->bc", probs, w)
+            return {
+                "probs": probs,
+                "fused": fused,
+                "preds": jnp.argmax(fused, axis=-1),
+            }
+
+        return jax.export.export(serve_sharded)(stacked, batch_example).serialize()
+
+    stacked = stack_variables(variables_list)
 
     @jax.jit
     def serve(batch):
@@ -125,8 +160,12 @@ def load_serving_artifact(path: str):
         metadata = json.loads(z.read(_META_NAME))
     exp = jax.export.deserialize(blob)
 
-    def serve(batch: Dict[str, np.ndarray]):
-        return exp.call(batch)
+    def serve(*args):
+        """Single-chip artifacts: serve(batch).  Sharded (mesh-exported)
+        artifacts: serve(stacked_vars, batch) — the runtime supplies the
+        sharded parameters (see export_ensemble)."""
+        return exp.call(*args)
 
     serve.platforms = exp.platforms
+    serve.nr_devices = exp.nr_devices
     return serve, metadata

@@ -168,6 +168,36 @@ def test_export_two_stream_with_device_flow(tmp_path):
     np.testing.assert_allclose(np.asarray(out["probs"]), want, atol=1e-5)
 
 
+def test_export_sharded_multichip_artifact(ensemble, tmp_path):
+    """Mesh-exported serving artifact: SPMD member×data shardings are
+    recorded in the module (nr_devices), the runtime supplies the sharded
+    params, and outputs match the single-chip artifact exactly."""
+    from crowded_scenes_ensemble_classification_tpu.core.mesh import make_mesh
+    from crowded_scenes_ensemble_classification_tpu.ensemble.members import (
+        shard_stacked,
+    )
+
+    bundle, variables = ensemble
+    mesh = make_mesh((("member", 2), ("data", -1)))
+    example = serving_batch_example(bundle, batch_size=4)
+    blob = export_ensemble(
+        bundle, variables, example, input_scale=1 / 255.0, mesh=mesh
+    )
+    serve, _ = load_serving_artifact(
+        save_serving_artifact(str(tmp_path / "sharded.zip"), blob, {})
+    )
+    assert serve.nr_devices == 8
+
+    rng = np.random.default_rng(4)
+    batch = {"rgb": rng.integers(0, 255, example["rgb"].shape).astype(np.uint8)}
+    stacked = shard_stacked(stack_variables(variables), mesh)
+    out = serve(stacked, batch)
+
+    fwd = make_member_forward(bundle, (32, 32), input_scale=1 / 255.0)
+    want = np.asarray(fwd(stack_variables(variables), batch))
+    np.testing.assert_allclose(np.asarray(out["probs"]), want, atol=2e-5)
+
+
 def test_export_cli_end_to_end(tmp_path):
     """The export subcommand: train-member checkpoints → one artifact."""
     import optax
