@@ -73,6 +73,7 @@ def export_ensemble(
     mesh=None,
     member_axis: str = "member",
     data_axis: str = "data",
+    bake_params: bool = True,
 ) -> bytes:
     """Serialize the fused ensemble forward to StableHLO bytes.
 
@@ -90,7 +91,12 @@ def export_ensemble(
     and the serving runtime supplies the sharded parameters — the
     standard split for multi-host deployment.  Sharded modules are
     exported for the current platform (export on the target mesh);
-    `platforms` applies to the single-chip form."""
+    `platforms` applies to the single-chip form.
+
+    bake_params=False keeps the single-chip signature (stacked_vars,
+    batch) too — a lean module with parameters supplied at load time
+    (useful when the deployment channel ships weights separately, or on
+    compile relays where constant-inflated HLO blows request limits)."""
     out_hw = (bundle.clip.height, bundle.clip.width)
     fwd = make_member_forward(
         bundle,
@@ -129,6 +135,23 @@ def export_ensemble(
         return jax.export.export(serve_sharded)(stacked, batch_example).serialize()
 
     stacked = stack_variables(variables_list)
+
+    if not bake_params:
+
+        @jax.jit
+        def serve_args(stacked_vars, batch):
+            probs = fwd(stacked_vars, batch)  # (M, B, C)
+            fused = jnp.einsum("mbc,m->bc", probs, w)
+            return {
+                "probs": probs,
+                "fused": fused,
+                "preds": jnp.argmax(fused, axis=-1),
+            }
+
+        exp = jax.export.export(serve_args, platforms=list(platforms))(
+            stacked, batch_example
+        )
+        return exp.serialize()
 
     @jax.jit
     def serve(batch):

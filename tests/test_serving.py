@@ -168,6 +168,33 @@ def test_export_two_stream_with_device_flow(tmp_path):
     np.testing.assert_allclose(np.asarray(out["probs"]), want, atol=1e-5)
 
 
+def test_export_unbaked_params(ensemble, tmp_path):
+    """bake_params=False: lean module, parameters supplied at call time —
+    artifact is small and outputs match the baked form exactly."""
+    bundle, variables = ensemble
+    example = serving_batch_example(bundle, batch_size=2)
+    baked = export_ensemble(
+        bundle, variables, example, input_scale=1 / 255.0, platforms=("cpu",)
+    )
+    lean = export_ensemble(
+        bundle, variables, example, input_scale=1 / 255.0, platforms=("cpu",),
+        bake_params=False,
+    )
+    assert len(lean) < len(baked)
+    serve, _ = load_serving_artifact(
+        save_serving_artifact(str(tmp_path / "lean.zip"), lean, {})
+    )
+    rng = np.random.default_rng(5)
+    batch = {"rgb": rng.integers(0, 255, example["rgb"].shape).astype(np.uint8)}
+    out = serve(stack_variables(variables), batch)
+    sb, _ = load_serving_artifact(
+        save_serving_artifact(str(tmp_path / "baked.zip"), baked, {})
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["probs"]), np.asarray(sb(batch)["probs"]), atol=1e-6
+    )
+
+
 def test_export_sharded_multichip_artifact(ensemble, tmp_path):
     """Mesh-exported serving artifact: SPMD member×data shardings are
     recorded in the module (nr_devices), the runtime supplies the sharded
