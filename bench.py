@@ -367,6 +367,62 @@ def _mark(stage: str) -> None:
     _PROGRESS.append(f"{stage}@{time.strftime('%H:%M:%S')}")
 
 
+def _serving_breakout(results: dict, eval_reader):
+    """Opt-in (BENCH_SERVING=1): throughput of the exported StableHLO
+    serving artifact (serving.export, bake_params=False so the module
+    stays lean through the compile relay) — 4-member I3D ensemble, u8
+    eval-resolution clips in, fused probs out.  Proves the deployment
+    artifact runs at pipeline speed."""
+    import jax
+    import jax.numpy as jnp
+
+    from crowded_scenes_ensemble_classification_tpu.core.config import ClipSpec
+    from crowded_scenes_ensemble_classification_tpu.ensemble.members import (
+        stack_variables,
+    )
+    from crowded_scenes_ensemble_classification_tpu.models import build_model
+    from crowded_scenes_ensemble_classification_tpu.serving import (
+        export_ensemble,
+        serving_batch_example,
+    )
+
+    b = int(os.environ.get("BENCH_SERVING_BATCH", "32"))
+    bundle = build_model("I3D", num_classes=11, dtype=jnp.bfloat16)
+    assert (bundle.clip.frames, bundle.clip.height) == (FRAMES, SIZE), (
+        ClipSpec,
+        bundle.clip,
+    )
+    variables = [
+        bundle.init(jax.random.key(i), batch_size=1) for i in range(NUM_MEMBERS)
+    ]
+    example = serving_batch_example(bundle, b)
+    blob = export_ensemble(
+        bundle, variables, example, input_scale=1.0, bake_params=False,
+        platforms=(jax.default_backend(),),
+    )
+    results["serving_artifact_mb"] = round(len(blob) / 1e6, 2)
+    exp = jax.export.deserialize(blob)
+    stacked = jax.device_put(stack_variables(variables))
+
+    n = min(4 * b, len(eval_reader))
+    clips, _labels = eval_reader.read_batch(np.arange(n))
+    batches = [
+        jax.device_put({"rgb": clips[i : i + b]}) for i in range(0, n - b + 1, b)
+    ]
+    out = exp.call(stacked, batches[0])  # compile
+    _ = float(jnp.sum(out["fused"]))
+    t0 = time.perf_counter()
+    acc = jnp.float32(0)
+    iters = 3
+    for _i in range(iters):
+        for bt in batches:
+            acc = acc + jnp.sum(exp.call(stacked, bt)["fused"])
+    _ = float(acc)  # chain-sync
+    results["serving_clips_per_sec"] = round(
+        b * len(batches) * iters / (time.perf_counter() - t0), 2
+    )
+
+
 def _arm_global_watchdog(finished: threading.Event):
     """If the device (axon relay) hangs, every float(carry) fetch blocks
     forever and the driver would record NO bench line at all.  After the
@@ -755,6 +811,30 @@ def main():
         results["twostream_e2e_clips_per_sec"] = round(
             tsb * n_ts / (time.perf_counter() - t0), 2
         )
+    if os.environ.get("BENCH_SERVING") == "1":
+        if not done.is_set():
+            results["serving_error"] = "skipped: flow breakout timed out"
+        else:
+            _mark("serving_start")
+            sdone = threading.Event()
+
+            def _serving():
+                try:
+                    _serving_breakout(results, eval_reader)
+                except Exception as e:
+                    results["serving_error"] = (
+                        f"{type(e).__name__}: {e}"
+                    )[:200]
+                sdone.set()
+
+            sth = threading.Thread(target=_serving, daemon=True)
+            sth.start()
+            sth.join(
+                timeout=float(os.environ.get("BENCH_SERVING_TIMEOUT_S", "2700"))
+            )
+            if not sdone.is_set():
+                results["serving_error"] = "timeout: serving breakout hung"
+                hard_exit = True
     if os.environ.get("BENCH_RESIDENT") == "1":
         if not done.is_set():
             # the flow-breakout thread timed out and its abandoned compile
