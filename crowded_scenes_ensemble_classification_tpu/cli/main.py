@@ -183,6 +183,37 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fusion weights .npy (e.g. learned GRID_SEARCH / "
                         "DIFFERENTIAL_EVOLUTION weights); default: equal "
                         "SUM weights")
+    p.add_argument("--no-bake-params", action="store_true",
+                   help="export a lean module that takes the stacked member "
+                        "parameters at call time instead of baking them in "
+                        "as constants (serve reloads them from --work-dir)")
+    p.add_argument("--mesh-member", type=int, default=None, metavar="M",
+                   help="with --mesh-data: export a MULTI-CHIP artifact over "
+                        "an (member=M, data=N) jax.sharding.Mesh — SPMD "
+                        "shardings are recorded in the module and the "
+                        "serving runtime must run it on M*N devices "
+                        "(lowered for the current platform; --platforms is "
+                        "ignored)")
+
+    p = sub.add_parser(
+        "serve",
+        help="classify a fold CSV with a saved serving artifact — the "
+             "StableHLO module IS the ensemble (decode/staging on host, "
+             "everything else inside the artifact); replaces the "
+             "reference's rebuild-the-Keras-graph-and-predict deployment "
+             "path (evaluate_ensemble.py:1032-1063)",
+    )
+    p.add_argument("--artifact", required=True, help="zip from `export`")
+    p.add_argument("--csv", required=True,
+                   help="clips CSV (fold/split format: rgbclips_path "
+                        "[, class, flow paths])")
+    p.add_argument("--out", default=None,
+                   help="predictions CSV (default: <artifact>_predictions.csv)")
+    p.add_argument("--num-workers", type=int, default=8,
+                   help="host decode threads")
+    p.add_argument("--work-dir", default=None,
+                   help="member checkpoints, required only for artifacts "
+                        "exported with --no-bake-params")
 
     p = sub.add_parser("probs", help="cache member softmax probabilities")
     _add_config_flags(p)
@@ -376,6 +407,21 @@ def main(argv=None) -> int:
             flow_precomputed=(config.optical_flow_status == "TVL1_precomputed"),
         )
         platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
+        mesh = None
+        if args.mesh_member:
+            if not args.mesh_data:
+                print("--mesh-member requires --mesh-data", file=sys.stderr)
+                return 2
+            from ..core.mesh import make_mesh
+
+            mesh = make_mesh(
+                (("member", args.mesh_member), ("data", args.mesh_data))
+            )
+            # sharded modules are lowered for the platform of the export
+            # mesh, not --platforms (serving.export_ensemble)
+            import jax
+
+            platforms = [jax.default_backend()]
         blob = export_ensemble(
             bundle,
             variables,
@@ -383,6 +429,8 @@ def main(argv=None) -> int:
             weights=weights,
             input_scale=config.input_scale,
             platforms=platforms,
+            mesh=mesh,
+            bake_params=not args.no_bake_params,
         )
         meta = {
             "model_type": config.model_type,
@@ -391,12 +439,97 @@ def main(argv=None) -> int:
             "members": names,
             "input_scale": config.input_scale,
             "platforms": platforms,
+            "params_baked": mesh is None and not args.no_bake_params,
+            "mesh": (
+                None
+                if mesh is None
+                else {"member": args.mesh_member, "data": args.mesh_data}
+            ),
+            # full config: `serve` rebuilds it to reload member checkpoints
+            # for lean (params-unbaked) artifacts
+            "experiment": json.loads(config.to_json()),
             "fusion_weights": (
                 [1.0] * len(names) if weights is None else np.asarray(weights).tolist()
             ),
             "input_spec": {k: list(v.shape) for k, v in example.items()},
         }
         print(save_serving_artifact(args.out, blob, meta))
+        return 0
+
+    if args.command == "serve":
+        import pandas as pd
+
+        from ..data.pipeline import BatchPipeline, SampleSpec, prefetch_batches
+        from ..serving import load_serving_artifact
+
+        serve_fn, meta = load_serving_artifact(args.artifact)
+        ispec = meta["input_spec"]
+        b, t, h, w = ispec["rgb"][:4]
+        spec = SampleSpec(
+            num_frames=t,
+            staging_hw=(h, w),
+            two_stream=("flow" in ispec or "gray" in ispec),
+            flow_precomputed=("flow" in ispec),
+        )
+        df = pd.read_csv(args.csv)
+        pipe = BatchPipeline(
+            df, spec, batch_size=b, shuffle=False, num_workers=args.num_workers
+        )
+        call_args = []
+        if not meta.get("params_baked", True):
+            # lean / mesh-exported artifact: the runtime supplies the
+            # stacked member parameters (see serving.export_ensemble)
+            if not args.work_dir or "experiment" not in meta:
+                print(
+                    "artifact was exported without baked parameters; "
+                    "pass --work-dir with the member checkpoints",
+                    file=sys.stderr,
+                )
+                return 2
+            import jax
+
+            from ..ensemble.members import stack_variables
+            from ..models import build_model
+            from ..orchestration import WorkLayout, _member_variables
+
+            config = ExperimentConfig.from_json(json.dumps(meta["experiment"]))
+            bundle = build_model(config.model_type, config.num_classes)
+            variables, _ = _member_variables(
+                config, WorkLayout(args.work_dir), bundle, meta["test_index"]
+            )
+            stacked = stack_variables(variables)
+            if meta.get("mesh"):
+                from ..core.mesh import make_mesh
+                from ..ensemble.members import shard_stacked
+
+                emesh = make_mesh(
+                    (
+                        ("member", meta["mesh"]["member"]),
+                        ("data", meta["mesh"]["data"]),
+                    )
+                )
+                stacked = shard_stacked(stacked, emesh)
+            call_args.append(jax.device_put(stacked))
+
+        keys = list(ispec)
+        preds_chunks = []
+        for batch in prefetch_batches(pipe, epoch=0):
+            out = serve_fn(*call_args, {k: batch[k] for k in keys})
+            valid = np.asarray(batch["valid"])
+            preds_chunks.append(np.asarray(out["preds"])[valid])
+        preds = np.concatenate(preds_chunks)
+
+        out_df = df.copy()
+        out_df["prediction"] = preds
+        if "class" in df.columns:
+            labels = df["class"].astype(int).values
+            acc = float((preds == labels).mean())
+            print(f"accuracy: {acc:.4f} over {len(preds)} clips")
+        out_path = args.out or (
+            os.path.splitext(args.artifact)[0] + "_predictions.csv"
+        )
+        out_df.to_csv(out_path, index=False)
+        print(out_path)
         return 0
 
     if args.command == "probs":

@@ -225,11 +225,12 @@ def test_export_sharded_multichip_artifact(ensemble, tmp_path):
     np.testing.assert_allclose(np.asarray(out["probs"]), want, atol=2e-5)
 
 
-def test_export_cli_end_to_end(tmp_path):
-    """The export subcommand: train-member checkpoints → one artifact."""
+@pytest.fixture(scope="module")
+def trained_workdir(tmp_path_factory):
+    """A tiny trained 2-member fold-0 ensemble + its work dir and test CSV
+    (shared by the export/serve CLI end-to-end tests)."""
     import optax
 
-    from crowded_scenes_ensemble_classification_tpu.cli.main import main
     from crowded_scenes_ensemble_classification_tpu.core.config import (
         ExperimentConfig,
     )
@@ -241,15 +242,16 @@ def test_export_cli_end_to_end(tmp_path):
         train_member,
     )
 
+    root = tmp_path_factory.mktemp("serve_cli")
     df = generate_synthetic_dataset(
-        str(tmp_path / "data"), num_scenes=6, clips_per_scene=2,
+        str(root / "data"), num_scenes=6, clips_per_scene=2,
         num_classes=3, num_frames=16, hw=(40, 40), as_videos=False,
     )
     config = ExperimentConfig(
         model_type="C3D", folds_number=3, num_classes=3, batch_size=4,
         epochs=1, input_scale=1 / 255.0,
     )
-    layout = prepare_ensemble(config, df, str(tmp_path / "work"))
+    layout = prepare_ensemble(config, df, str(root / "work"))
     bundle = tiny_bundle()
     for v in (1, 2):
         train_member(
@@ -257,29 +259,120 @@ def test_export_cli_end_to_end(tmp_path):
             staging_hw=(40, 40), num_workers=2,
             optimizer=optax.inject_hyperparams(optax.adam)(learning_rate=2e-3),
         )
+    return root, layout.split_csv(0, 1, "test")
 
-    out_path = str(tmp_path / "fold0.zip")
-    # NOTE: the CLI builds the FULL-size C3D; the checkpoints above are
-    # tiny-width, so restore would fail — monkeypatching build_model keeps
-    # this a CPU-friendly e2e of the real dispatch path.
+
+def _cli(argv):
+    """Run the CLI with build_model patched to the tiny C3D: the real CLI
+    builds the FULL-size model, but the fixture's checkpoints are
+    tiny-width — patching keeps these CPU-friendly e2e of the real
+    dispatch path."""
     import crowded_scenes_ensemble_classification_tpu.models as models_pkg
+    from crowded_scenes_ensemble_classification_tpu.cli.main import main
 
     orig = models_pkg.build_model
     models_pkg.build_model = lambda mt, nc, **kw: tiny_bundle(nc)
     try:
-        rc = main([
-            "export", "--work-dir", str(tmp_path / "work"), "-mt", "C3D",
-            "-fn", "3", "--num-classes", "3", "-t", "0",
-            "--out", out_path, "--serve-batch", "2", "--platforms", "cpu",
-        ])
+        return main(argv)
     finally:
         models_pkg.build_model = orig
+
+
+def test_export_cli_end_to_end(trained_workdir):
+    """The export subcommand: train-member checkpoints → one artifact."""
+    root, _ = trained_workdir
+    out_path = str(root / "fold0.zip")
+    rc = _cli([
+        "export", "--work-dir", str(root / "work"), "-mt", "C3D",
+        "-fn", "3", "--num-classes", "3", "-t", "0",
+        "--out", out_path, "--serve-batch", "2", "--platforms", "cpu",
+    ])
     assert rc == 0
     serve, meta = load_serving_artifact(out_path)
     assert len(meta["members"]) == 2
     assert meta["input_scale"] == pytest.approx(1 / 255.0)
+    assert meta["params_baked"] is True
+    assert meta["experiment"]["model_type"] == "C3D"
     rng = np.random.default_rng(2)
     out = serve({"rgb": rng.integers(0, 255, (2, 16, 32, 32, 3)).astype(np.uint8)})
     probs = np.asarray(out["probs"])
     assert probs.shape == (2, 2, 3)
     np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_serve_cli_end_to_end(trained_workdir, capsys):
+    """export → serve: the artifact classifies the fold's test CSV with no
+    framework model code on the serving side (the reference's deployment
+    story, evaluate_ensemble.py:1032-1063, as two commands)."""
+    import pandas as pd
+
+    root, test_csv = trained_workdir
+    art = str(root / "serve.zip")
+    assert _cli([
+        "export", "--work-dir", str(root / "work"), "-mt", "C3D",
+        "-fn", "3", "--num-classes", "3", "-t", "0",
+        "--out", art, "--serve-batch", "2", "--platforms", "cpu",
+    ]) == 0
+    out_csv = str(root / "preds.csv")
+    rc = _cli([
+        "serve", "--artifact", art, "--csv", test_csv,
+        "--out", out_csv, "--num-workers", "2",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "accuracy:" in printed
+
+    got = pd.read_csv(out_csv)
+    src = pd.read_csv(test_csv)
+    assert len(got) == len(src)  # final partial batch unpadded in the CSV
+    assert list(got["rgbclips_path"]) == list(src["rgbclips_path"])
+    assert got["prediction"].between(0, 2).all()
+
+    # cross-check one batch against the raw artifact call
+    from crowded_scenes_ensemble_classification_tpu.data.pipeline import (
+        BatchPipeline,
+        SampleSpec,
+    )
+
+    serve, meta = load_serving_artifact(art)
+    spec = SampleSpec(num_frames=16, staging_hw=(32, 32))
+    pipe = BatchPipeline(src, spec, batch_size=2, shuffle=False, num_workers=2)
+    want = []
+    for batch in pipe.batches(0):
+        out = serve({"rgb": batch["rgb"]})
+        want.append(np.asarray(out["preds"])[np.asarray(batch["valid"])])
+    np.testing.assert_array_equal(got["prediction"].values, np.concatenate(want))
+
+
+def test_serve_cli_lean_artifact(trained_workdir):
+    """--no-bake-params round trip: serve reloads the member checkpoints
+    from --work-dir (metadata carries the full experiment config) and
+    matches the baked artifact's predictions."""
+    import pandas as pd
+
+    root, test_csv = trained_workdir
+    lean = str(root / "lean.zip")
+    assert _cli([
+        "export", "--work-dir", str(root / "work"), "-mt", "C3D",
+        "-fn", "3", "--num-classes", "3", "-t", "0",
+        "--out", lean, "--serve-batch", "2", "--platforms", "cpu",
+        "--no-bake-params",
+    ]) == 0
+    _, meta = load_serving_artifact(lean)
+    assert meta["params_baked"] is False
+
+    # without --work-dir the CLI must refuse, not crash
+    assert _cli(["serve", "--artifact", lean, "--csv", test_csv]) == 2
+
+    out_csv = str(root / "lean_preds.csv")
+    assert _cli([
+        "serve", "--artifact", lean, "--csv", test_csv,
+        "--out", out_csv, "--work-dir", str(root / "work"),
+        "--num-workers", "2",
+    ]) == 0
+    baked_csv = str(root / "preds.csv")
+    if os.path.exists(baked_csv):  # produced by the baked serve test
+        np.testing.assert_array_equal(
+            pd.read_csv(out_csv)["prediction"].values,
+            pd.read_csv(baked_csv)["prediction"].values,
+        )
