@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import flatten, max_pool_3d
+from .common import QuantConv, flatten, max_pool_3d
 
 
 class C3D(nn.Module):
@@ -35,18 +35,28 @@ class C3D(nn.Module):
     # layer proportionally (CI / ablation use only — converted reference
     # checkpoints require width=1.0).
     width: float = 1.0
+    # quant=True runs every conv contraction in int8 on the MXU
+    # (inference only; models.common.quant_conv_general).
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.quant and train:
+            raise ValueError("quant=True C3D is inference-only")
         w = lambda f: max(int(f * self.width), 8)
-        conv = lambda feats, name: nn.Conv(
-            feats,
-            kernel_size=(3, 3, 3),
-            padding="SAME",
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name=name,
-        )
+        if self.quant:
+            conv = lambda feats, name: QuantConv(
+                feats, kernel_size=(3, 3, 3), padding="SAME", name=name
+            )
+        else:
+            conv = lambda feats, name: nn.Conv(
+                feats,
+                kernel_size=(3, 3, 3),
+                padding="SAME",
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=name,
+            )
 
         x = x.astype(self.dtype)
         x = nn.relu(conv(w(64), "conv1")(x))

@@ -62,19 +62,34 @@ class ConvBN(nn.Module):
     use_relu: bool = True
     bn_scale: bool = False
     dtype: jnp.dtype = jnp.float32
+    # quant=True runs the conv contraction in int8 on the MXU (inference
+    # only — see quant_conv_general).  Same parameter tree either way.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = nn.Conv(
-            features=self.features,
-            kernel_size=self.kernel,
-            strides=self.strides,
-            padding=self.padding,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        if self.quant:
+            if train:
+                raise ValueError("quant=True ConvBN is inference-only")
+            x = QuantConv(
+                features=self.features,
+                kernel_size=self.kernel,
+                strides=self.strides,
+                padding=self.padding,
+                use_bias=self.use_bias,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=self.kernel,
+                strides=self.strides,
+                padding=self.padding,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
@@ -88,6 +103,81 @@ class ConvBN(nn.Module):
         if self.use_relu:
             x = nn.relu(x)
         return x
+
+
+# ----------------------------------------------------------------------
+# int8 quantized inference (TPU MXU int8 path)
+# ----------------------------------------------------------------------
+
+
+def quant_conv_general(
+    x: jax.Array,
+    kernel: jax.Array,
+    strides,
+    padding,
+    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+) -> jax.Array:
+    """int8×int8→int32 convolution with per-output-channel symmetric weight
+    scales and a dynamic per-tensor activation scale, dequantized to f32.
+
+    The weight scale is `max|W[..., f]| / 127` per output feature f; the
+    activation scale is `max|x| / 127` over the whole tensor (computed at
+    run time, so no calibration pass is needed).  Both operands round to
+    int8 and the contraction accumulates in int32 — on TPU v5e the MXU's
+    int8 rate is 2× its bf16 rate, which is the whole point.  Rounding
+    never overflows: `|x|/sx ≤ 127` by construction of sx.
+
+    Inference-only (round() has a zero gradient).  Reference op being
+    accelerated: the Conv3D inside conv3d_bn (train.py:615-670); accuracy
+    deltas are gated in tests/test_quant.py.
+    """
+    kf = kernel.astype(jnp.float32)
+    sw = jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1)))  # (F,)
+    sw = jnp.maximum(sw, 1e-30) / 127.0
+    k8 = jnp.round(kf / sw).astype(jnp.int8)
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-30) / 127.0
+    x8 = jnp.round(xf / sx).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        x8,
+        k8,
+        window_strides=strides,
+        padding=padding,
+        dimension_numbers=dimension_numbers,
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * (sx * sw)
+
+
+class QuantConv(nn.Module):
+    """Drop-in int8 inference replacement for `nn.Conv` (channels-last,
+    no feature groups).  Parameter tree is identical to nn.Conv —
+    'kernel' (kt, kh, kw, Cin, F) f32 (+ optional 'bias') — so converted
+    reference checkpoints load unchanged; only the contraction runs int8
+    (see quant_conv_general)."""
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: str = "SAME"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = int(x.shape[-1])
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, c, self.features),
+            jnp.float32,
+        )
+        y = quant_conv_general(x, kernel, self.strides, self.padding)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias
+        return y
 
 
 class BNRelu(nn.Module):
@@ -319,12 +409,27 @@ class PrestagedS2DStemConvBN(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, xs: jax.Array, train: bool = False) -> jax.Array:
         c = int(xs.shape[-1]) // 4
         kernel = _ConvKernel((7, 7, 7, c, self.features), name="conv")()
-        x = s2d_stem_conv_prestaged(xs.astype(self.dtype), kernel.astype(self.dtype))
+        if self.quant:
+            if train:
+                raise ValueError("quant=True stem is inference-only")
+            # the s2d kernel rearrangement keeps F as the last axis, so the
+            # per-output-channel scales are unchanged by the rewrite
+            x = quant_conv_general(
+                xs,
+                s2d_stem_kernel(kernel),
+                (2, 1, 1),
+                [(2, 3), (0, 0), (0, 0)],
+            )
+        else:
+            x = s2d_stem_conv_prestaged(
+                xs.astype(self.dtype), kernel.astype(self.dtype)
+            )
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=KERAS_BN_MOMENTUM,

@@ -67,12 +67,13 @@ class InceptionBlock(nn.Module):
     spec: Tuple[int, int, int, int, int, int]
     dtype: jnp.dtype = jnp.float32
     pool_impl: str = "auto"  # auto | xla | pallas
+    quant: bool = False  # int8 conv contractions (inference only)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         b0_c, b1_r, b1_c, b2_r, b2_c, b3_c = self.spec
         cbn = lambda feats, kernel, name: ConvBN(
-            feats, kernel, dtype=self.dtype, name=name
+            feats, kernel, dtype=self.dtype, quant=self.quant, name=name
         )
         branch_0 = cbn(b0_c, (1, 1, 1), "b0_1x1")(x, train)
         branch_1 = cbn(b1_r, (1, 1, 1), "b1_1x1")(x, train)
@@ -121,10 +122,21 @@ class I3DTrunk(nn.Module):
     # shared across ensemble members (1.2× the 4-member stem on v5e; see
     # models.common.s2d_stem_stage).
     stem_prestaged: bool = False
+    # quant=True runs every conv contraction in int8 on the MXU (2× the
+    # bf16 rate on v5e) with per-output-channel weight scales + dynamic
+    # per-tensor activation scales — inference only, identical parameter
+    # tree (models.common.quant_conv_general).
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        base_cls = functools.partial(InceptionBlock, pool_impl=self.pool_impl)
+        if self.quant and self.remat:
+            # remat is a training feature; the quantized path is
+            # inference-only and the remat block ctor bypasses the partial
+            raise ValueError("quant=True is incompatible with remat=True")
+        base_cls = functools.partial(
+            InceptionBlock, pool_impl=self.pool_impl, quant=self.quant
+        )
         block_cls = (
             nn.remat(InceptionBlock, static_argnums=(2,))
             if self.remat
@@ -134,17 +146,17 @@ class I3DTrunk(nn.Module):
         use_pallas_stem = self.stem_impl == "pallas" and not train
         if self.stem_prestaged:
             x = PrestagedS2DStemConvBN(
-                64, dtype=self.dtype, name="Conv3d_1a_7x7"
+                64, dtype=self.dtype, quant=self.quant, name="Conv3d_1a_7x7"
             )(x, train)
         elif use_pallas_stem:
             x = PallasStemConvBN(64, dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
         elif self.s2d_stem:
             x = S2DStemConvBN(64, dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
         else:
-            x = ConvBN(64, (7, 7, 7), strides=(2, 2, 2), dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
+            x = ConvBN(64, (7, 7, 7), strides=(2, 2, 2), dtype=self.dtype, quant=self.quant, name="Conv3d_1a_7x7")(x, train)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), "SAME")
-        x = ConvBN(64, (1, 1, 1), dtype=self.dtype, name="Conv3d_2b_1x1")(x, train)
-        x = ConvBN(192, (3, 3, 3), dtype=self.dtype, name="Conv3d_2c_3x3")(x, train)
+        x = ConvBN(64, (1, 1, 1), dtype=self.dtype, quant=self.quant, name="Conv3d_2b_1x1")(x, train)
+        x = ConvBN(192, (3, 3, 3), dtype=self.dtype, quant=self.quant, name="Conv3d_2c_3x3")(x, train)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), "SAME")
 
         for name in ("Mixed_3b", "Mixed_3c"):
@@ -177,6 +189,7 @@ class I3D(nn.Module):
     pool_impl: str = "auto"
     stem_impl: str = "auto"
     stem_prestaged: bool = False
+    quant: bool = False  # int8 conv contractions (inference only)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -187,6 +200,7 @@ class I3D(nn.Module):
             pool_impl=self.pool_impl,
             stem_impl=self.stem_impl,
             stem_prestaged=self.stem_prestaged,
+            quant=self.quant,
             name="trunk",
         )(x, train)
         x = i3d_feature_head(x)

@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import BNRelu, avg_pool_3d, flatten, max_pool_3d
+from .common import BNRelu, QuantConv, avg_pool_3d, flatten, max_pool_3d
 
 # depth → (block kind, repetitions) — reference train.py:1526-1559
 R3D_PRESETS = {
@@ -36,7 +36,12 @@ R3D_PRESETS = {
 }
 
 
-def _conv(feats, kernel, strides=(1, 1, 1), padding="SAME", dtype=jnp.float32, name=None):
+def _conv(feats, kernel, strides=(1, 1, 1), padding="SAME", dtype=jnp.float32, name=None, quant=False):
+    if quant:
+        # int8 contraction (inference only); same 'kernel'+'bias' params
+        return QuantConv(
+            feats, kernel_size=kernel, strides=strides, padding=padding, name=name
+        )
     return nn.Conv(
         feats,
         kernel_size=kernel,
@@ -53,6 +58,7 @@ class _Shortcut(nn.Module):
     (reference `_shortcut3d` train.py:1324-1346)."""
 
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, residual: jax.Array) -> jax.Array:
@@ -68,6 +74,7 @@ class _Shortcut(nn.Module):
                 padding="VALID",
                 dtype=self.dtype,
                 name="proj",
+                quant=self.quant,
             )(x)
         return x + residual
 
@@ -77,19 +84,20 @@ class BasicBlock3D(nn.Module):
     strides: Tuple[int, int, int] = (1, 1, 1)
     is_first_block_of_first_layer: bool = False
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         if self.is_first_block_of_first_layer:
             # Stem just did bn→relu→maxpool; don't repeat the pre-activation
             # (reference basic_block train.py:1372-1379).
-            y = _conv(self.features, (3, 3, 3), self.strides, dtype=self.dtype, name="conv1")(x)
+            y = _conv(self.features, (3, 3, 3), self.strides, dtype=self.dtype, name="conv1", quant=self.quant)(x)
         else:
             y = BNRelu(dtype=self.dtype, name="preact1")(x, train)
-            y = _conv(self.features, (3, 3, 3), self.strides, dtype=self.dtype, name="conv1")(y)
+            y = _conv(self.features, (3, 3, 3), self.strides, dtype=self.dtype, name="conv1", quant=self.quant)(y)
         y2 = BNRelu(dtype=self.dtype, name="preact2")(y, train)
-        y2 = _conv(self.features, (3, 3, 3), dtype=self.dtype, name="conv2")(y2)
-        return _Shortcut(dtype=self.dtype, name="shortcut")(x, y2)
+        y2 = _conv(self.features, (3, 3, 3), dtype=self.dtype, name="conv2", quant=self.quant)(y2)
+        return _Shortcut(dtype=self.dtype, quant=self.quant, name="shortcut")(x, y2)
 
 
 class BottleneckBlock3D(nn.Module):
@@ -97,19 +105,20 @@ class BottleneckBlock3D(nn.Module):
     strides: Tuple[int, int, int] = (1, 1, 1)
     is_first_block_of_first_layer: bool = False
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         if self.is_first_block_of_first_layer:
-            y = _conv(self.features, (1, 1, 1), self.strides, dtype=self.dtype, name="conv1")(x)
+            y = _conv(self.features, (1, 1, 1), self.strides, dtype=self.dtype, name="conv1", quant=self.quant)(x)
         else:
             y = BNRelu(dtype=self.dtype, name="preact1")(x, train)
-            y = _conv(self.features, (1, 1, 1), self.strides, dtype=self.dtype, name="conv1")(y)
+            y = _conv(self.features, (1, 1, 1), self.strides, dtype=self.dtype, name="conv1", quant=self.quant)(y)
         y = BNRelu(dtype=self.dtype, name="preact2")(y, train)
-        y = _conv(self.features, (3, 3, 3), dtype=self.dtype, name="conv2")(y)
+        y = _conv(self.features, (3, 3, 3), dtype=self.dtype, name="conv2", quant=self.quant)(y)
         y = BNRelu(dtype=self.dtype, name="preact3")(y, train)
-        y = _conv(self.features * 4, (1, 1, 1), dtype=self.dtype, name="conv3")(y)
-        return _Shortcut(dtype=self.dtype, name="shortcut")(x, y)
+        y = _conv(self.features * 4, (1, 1, 1), dtype=self.dtype, name="conv3", quant=self.quant)(y)
+        return _Shortcut(dtype=self.dtype, quant=self.quant, name="shortcut")(x, y)
 
 
 class R3D(nn.Module):
@@ -118,15 +127,20 @@ class R3D(nn.Module):
     num_classes: int = 11
     depth: int = 18
     dtype: jnp.dtype = jnp.float32
+    # quant=True runs every conv contraction in int8 on the MXU
+    # (inference only; models.common.quant_conv_general).
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.quant and train:
+            raise ValueError("quant=True R3D is inference-only")
         kind, repetitions = R3D_PRESETS[self.depth]
         block_cls = BasicBlock3D if kind == "basic" else BottleneckBlock3D
 
         x = x.astype(self.dtype)
         # Stem: conv→bn→relu then same-pad maxpool (train.py:1483-1488).
-        x = _conv(64, (7, 7, 7), (2, 2, 2), dtype=self.dtype, name="conv1")(x)
+        x = _conv(64, (7, 7, 7), (2, 2, 2), dtype=self.dtype, name="conv1", quant=self.quant)(x)
         x = BNRelu(dtype=self.dtype, name="stem_bnrelu")(x, train)
         x = max_pool_3d(x, (3, 3, 3), (2, 2, 2), "SAME")
 
@@ -139,6 +153,7 @@ class R3D(nn.Module):
                     strides=strides,
                     is_first_block_of_first_layer=(stage == 0 and i == 0),
                     dtype=self.dtype,
+                    quant=self.quant,
                     name=f"stage{stage}_block{i}",
                 )(x, train)
             features *= 2

@@ -34,6 +34,7 @@ class TwoStreamI3D(nn.Module):
     # caller and shared across ensemble members, amortizing both trunks'
     # stem staging over the whole ensemble (models.common.s2d_stem_stage).
     stem_prestaged: bool = False
+    quant: bool = False  # int8 conv contractions in both trunks (inference only)
 
     @nn.compact
     def __call__(
@@ -41,7 +42,10 @@ class TwoStreamI3D(nn.Module):
     ) -> jax.Array:
         """rgb: (N, T, H, W, 3); flow: (N, T, H, W, 2)."""
         trunk = functools.partial(
-            I3DTrunk, dtype=self.dtype, stem_prestaged=self.stem_prestaged
+            I3DTrunk,
+            dtype=self.dtype,
+            stem_prestaged=self.stem_prestaged,
+            quant=self.quant,
         )
         x_rgb = trunk(name="rgb_trunk")(rgb, train)
         x_flow = trunk(name="flow_trunk")(flow, train)

@@ -1,0 +1,183 @@
+"""int8 quantized-inference tests (beyond reference — TPU MXU int8 path).
+
+The quantized forward (models.common.quant_conv_general) runs every conv
+contraction int8×int8→int32 with per-output-channel weight scales and a
+dynamic per-tensor activation scale.  On TPU v5e the MXU int8 rate is 2×
+bf16; these tests pin the semantics on CPU:
+
+1. the int8 math path is EXACT when both operands are exactly
+   representable (integer-valued activations at full scale, per-channel
+   integer-scaled weights);
+2. the parameter tree is IDENTICAL to the f32 modules (same checkpoints
+   load either way) for every architecture in the zoo;
+3. on a realistic reference-layout I3D checkpoint (the same synthetic
+   Keras h5 the golden-parity chain uses), the quantized softmax stays
+   close to f32 and the top-1 decision is unchanged;
+4. quant is inference-only: train=True raises.
+
+Reference op being accelerated: the Conv3D inside conv3d_bn
+(train.py:615-670) and the C3D/R3D convs (train.py:1224-1273, 1278-1559).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crowded_scenes_ensemble_classification_tpu.models import build_model
+from crowded_scenes_ensemble_classification_tpu.models.common import (
+    ConvBN,
+    quant_conv_general,
+)
+
+
+# ----------------------------------------------------------------------
+# 1. exactness on representable operands
+# ----------------------------------------------------------------------
+
+
+def test_quant_conv_exact_on_representable_operands(rng):
+    x = rng.integers(-127, 128, (1, 4, 8, 8, 3)).astype(np.float32)
+    x.flat[0] = 127.0  # pin the dynamic scale to exactly 1.0
+    # per-output-channel scales c_f on integer weights with max |w| = 127
+    ints = rng.integers(-127, 128, (3, 3, 3, 3, 5)).astype(np.float32)
+    ints[0, 0, 0, 0, :] = 127.0
+    scales = np.array([0.25, 1.0, 3.0, 0.011, 7.5], np.float32)
+    kernel = ints * scales
+
+    got = quant_conv_general(jnp.asarray(x), jnp.asarray(kernel), (1, 1, 1), "SAME")
+
+    # Exact int64 oracle: conv(x, ints·c) = int_conv(x, ints) · c, and the
+    # integer conv is computed exactly (an f32 XLA conv would NOT do as the
+    # oracle: its f32 accumulation over ±1e5-magnitude terms suffers
+    # catastrophic cancellation exactly where the int32 path stays exact).
+    xp = np.pad(x[0].astype(np.int64), ((1, 1), (1, 1), (1, 1), (0, 0)))
+    win = np.lib.stride_tricks.sliding_window_view(xp, (3, 3, 3), axis=(0, 1, 2))
+    int_conv = np.einsum(
+        "dhwcijk,ijkcf->dhwf", win, ints.astype(np.int64), optimize=True
+    )
+    want = int_conv.astype(np.float64) * scales.astype(np.float64)
+
+    # int32 accumulation is exact; got's only error is the f32 scale muls,
+    # which are MULTIPLICATIVE on the exact integer (no cancellation), so a
+    # tight rtol holds even at near-zero outputs.
+    np.testing.assert_allclose(
+        np.asarray(got)[0].astype(np.float64), want, rtol=3e-6
+    )
+
+
+# ----------------------------------------------------------------------
+# 2. identical parameter trees (checkpoints interchangeable)
+# ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("model_type", ["C3D", "R3D_18", "I3D", "TWOSTREAM_I3D"])
+def test_quant_param_tree_identical(model_type):
+    plain = build_model(model_type, num_classes=11)
+    quant = build_model(model_type, num_classes=11, quant=True)
+
+    def shapes(bundle):
+        return jax.eval_shape(
+            lambda k: bundle.init(k, batch_size=1), jax.random.key(0)
+        )
+
+    a, b = shapes(plain), shapes(quant)
+    assert jax.tree_util.tree_structure(a) == jax.tree_util.tree_structure(b)
+    for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        assert la.shape == lb.shape and la.dtype == lb.dtype
+
+
+# ----------------------------------------------------------------------
+# 3. quantized forward stays close to f32 on a realistic checkpoint
+# ----------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_quant_i3d_close_to_f32_on_reference_checkpoint(tmp_path):
+    from oracle_i3d import random_i3d_h5_layers
+
+    from crowded_scenes_ensemble_classification_tpu.models import weights_io as wio
+    from crowded_scenes_ensemble_classification_tpu.models.pretrained import (
+        load_pretrained_variables,
+    )
+
+    layers = random_i3d_h5_layers(seed=3, num_classes=11)
+    h5_path = wio.write_keras_h5(str(tmp_path / "i3d_rgb_synth.h5"), layers)
+
+    rng = np.random.default_rng(11)
+    # raw 0-255 pixel statistics, the reference's own input range
+    # (train.py:283-289: no normalization anywhere)
+    x = rng.uniform(0, 255, (2, 16, 32, 32, 3)).astype(np.float32)
+
+    bundle = build_model("I3D", num_classes=11)
+    fresh = bundle.module.init(jax.random.key(0), jnp.zeros_like(jnp.asarray(x)))
+    variables = load_pretrained_variables("I3D", fresh, 11, rgb_h5=h5_path)
+
+    qmodule = build_model("I3D", num_classes=11, quant=True).module
+
+    p32 = jax.nn.softmax(bundle.module.apply(variables, jnp.asarray(x), train=False))
+    p8 = jax.nn.softmax(qmodule.apply(variables, jnp.asarray(x), train=False))
+    p32, p8 = np.asarray(p32), np.asarray(p8)
+
+    assert (p32.argmax(-1) == p8.argmax(-1)).all(), "top-1 changed under int8"
+    assert np.abs(p32 - p8).max() < 0.05, f"softmax drift {np.abs(p32 - p8).max()}"
+
+
+@pytest.mark.parametrize("model_type", ["C3D", "R3D_18"])
+def test_quant_forward_close_to_f32_small(model_type, rng):
+    kwargs = {"width": 0.25} if model_type == "C3D" else {}
+    plain = build_model(model_type, num_classes=5, **kwargs)
+    quant = build_model(model_type, num_classes=5, quant=True, **kwargs)
+    variables = plain.init(jax.random.key(2), batch_size=2)
+    batch = jax.tree_util.tree_map(
+        lambda b: jnp.asarray(
+            rng.uniform(0, 255, b.shape).astype(np.float32)
+        ),
+        plain.dummy_batch(batch_size=2),
+    )
+    l32 = np.asarray(plain.apply(variables, batch, train=False))
+    l8 = np.asarray(quant.apply(variables, batch, train=False))
+    # random-init logits are O(1); int8 drift must stay well under that
+    scale = max(np.abs(l32).max(), 1e-3)
+    assert np.abs(l32 - l8).max() / scale < 0.15, (
+        f"relative logit drift {np.abs(l32 - l8).max() / scale}"
+    )
+
+
+def test_quant_prestaged_stem_matches_plain_quant_stem(rng):
+    """quant=True composes with stem_prestaged=True (the bench's
+    amortized-staging form): the s2d rearrangement is an exact rewrite and
+    zero padding cannot change max|x|, so both quantized stems see the same
+    activation scale and the same int32 contraction — outputs must agree
+    to f32 rounding."""
+    from crowded_scenes_ensemble_classification_tpu.models.common import (
+        s2d_stem_stage,
+    )
+
+    bundle = build_model("I3D", num_classes=5, quant=True)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 16, 32, 32, 3)).astype(np.float32))
+    variables = bundle.module.init(jax.random.key(4), x, train=False)
+    prestaged = bundle.module.clone(stem_prestaged=True)
+
+    plain = bundle.module.apply(variables, x, train=False)
+    staged = prestaged.apply(variables, s2d_stem_stage(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(plain), np.asarray(staged), rtol=1e-5, atol=1e-5
+    )
+
+
+# ----------------------------------------------------------------------
+# 4. inference-only guard
+# ----------------------------------------------------------------------
+
+
+def test_quant_train_raises(rng):
+    module = ConvBN(4, (3, 3, 3), quant=True)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 4, 8, 8, 3)).astype(np.float32))
+    variables = module.init(jax.random.key(0), x, train=False)
+    with pytest.raises(ValueError, match="inference-only"):
+        module.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
