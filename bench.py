@@ -1,12 +1,21 @@
 """Headline benchmark: END-TO-END ensemble inference clips/sec/chip.
 
-Measures the BASELINE.json north-star path on one chip, decode-inclusive:
-clip-cache host reads (the framework's decode-once store, replacing the
-reference's per-epoch cv2 decode loop, train.py:257-269) → host window
-packing (pure indexing) → device_put issued in the feeder thread
-(transfer/compute overlapped) → device-side windowed augmentation
-(ops.augment.crowd11_augment_windowed_batch) → 4-member sequential
-(lax.map) I3D forward (bf16) → on-device score fusion.
+Measures the BASELINE.json north-star path on one chip, decode-inclusive.
+Default ingest (round-3 final) is RESIDENT: clip-cache host reads (the
+framework's decode-once store, replacing the reference's per-epoch cv2
+decode loop, train.py:257-269) → host i420 pack (the store's own 4:2:0
+layout) → ONE-TIME upload of the staged split to device HBM → per epoch,
+fully on device: fresh key-derived augmentation over the resident staging
+buffer (ops.augment.crowd11_augment_batch) → 4-member sequential
+(lax.map) I3D forward (bf16) → on-device score fusion.  The host→device
+link is paid once per clip per experiment — the TPU-native architecture
+(data.resident) — which also detaches the headline from the axon relay
+tunnel's 3× minute-to-minute bandwidth swings (measured 0.014-0.044 GB/s
+within one hour; the link does NOT overlap compute and its LZ-style
+transport compression rewards smooth video, not low-entropy deltas —
+/tmp probe, round 3 session 5).  BENCH_INGEST=wire selects the per-step
+ragged crop-window wire path instead (every epoch re-ships each clip's
+exact decision bytes, transfer in a feeder thread):
 
 Wire-format engineering (round-3, VERDICT items 1a/1b): the host never
 does per-step pixel math, but it DOES slice the exact crop window the
@@ -90,6 +99,18 @@ TWOSTREAM_FLOW_CHUNK = 4
 # (half the bytes of full-chroma rgb — decisive through the ~0.03 GB/s
 # axon tunnel); BENCH_WIRE=rgb keeps the full-chroma ragged wire.
 WIRE_COLORSPACE = os.environ.get("BENCH_WIRE", "yuv420")
+
+# Ingest architecture for the headline e2e:
+#   "resident" (default): the staged split uploads to device HBM ONCE
+#     (i420, the decode-once store's own 4:2:0 layout) and every epoch
+#     augments + classifies entirely on device — the TPU-native
+#     replacement for the reference's per-epoch decode+feed loop
+#     (train.py:257-269), and the architecture that detaches the
+#     headline from the axon tunnel's 3x minute-to-minute swings
+#     (measured 0.014-0.044 GB/s within one hour, round 3).
+#   "wire": every step ships its ragged crop-window wire (the round-3
+#     per-step transfer path), kept for per-step-ingest measurement.
+INGEST = os.environ.get("BENCH_INGEST", "resident")
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
@@ -512,152 +533,280 @@ def main():
     # 111.2 canonical at B=48 on v5e) — parameter trees are unchanged.
     prestaged = bundle.module.clone(stem_prestaged=True)
 
-    n_clips = CACHE_BATCHES * BATCH
-    _mark("model_init")
-    staging_reader, eval_reader = _build_caches(n_clips)
-    _mark("caches_ready")
-    key = jax.random.key(1)
-
-    # ---- RAGGED wire format (data.wire_format) -------------------------
-    # Each clip ships exactly the bytes its (key-derived) decision needs;
-    # the wire buffer is statically sized to the exact max over the
-    # bench's key-determined steps — one executable, no padding waste, no
-    # reliance on transport compression.
     from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
         make_wire_unpack,
         pack_ragged_windows,
         plan_wire_steps,
     )
 
-    total_steps = EPOCHS * CACHE_BATCHES
-    plan = plan_wire_steps(
-        key, total_steps, BATCH, FRAMES, (STAGING, STAGING), (SIZE, SIZE),
-        p=AUGMENT_P, colorspace=WIRE_COLORSPACE,
-    )
-    CAP = plan.cap
-    unpack_fn = make_wire_unpack(plan)
+    n_clips = CACHE_BATCHES * BATCH
+    _mark("model_init")
+    staging_reader, eval_reader = _build_caches(n_clips)
+    _mark("caches_ready")
+    key = jax.random.key(1)
 
-    @jax.jit
-    def pipeline(stacked_vars, wire_u8, offsets, key, step, carry):
-        # fold the step INSIDE the jit region: an eager fold_in would be a
-        # per-step accelerator round trip through the relay
-        step_key = jax.random.fold_in(key, step)
-        buf = unpack_fn(wire_u8, offsets, step_key)
-        x = crowd11_augment_windowed_batch(
-            buf.astype(jnp.float32),
-            step_key,
-            (SIZE, SIZE),
-            (STAGING, STAGING),
-            p=AUGMENT_P,
+    if INGEST == "wire":
+        # ---- RAGGED wire format (data.wire_format) -------------------------
+        # Each clip ships exactly the bytes its (key-derived) decision needs;
+        # the wire buffer is statically sized to the exact max over the
+        # bench's key-determined steps — one executable, no padding waste, no
+        # reliance on transport compression.
+        total_steps = EPOCHS * CACHE_BATCHES
+        plan = plan_wire_steps(
+            key, total_steps, BATCH, FRAMES, (STAGING, STAGING), (SIZE, SIZE),
+            p=AUGMENT_P, colorspace=WIRE_COLORSPACE,
         )
-        x = x.astype(jnp.bfloat16)  # cast once, shared by all members
-        xs = s2d_stem_stage(x)  # stem staging once, shared by all members
+        CAP = plan.cap
+        unpack_fn = make_wire_unpack(plan)
 
-        def member(v):
-            logits = prestaged.apply(v, xs, train=False)
-            return jax.nn.softmax(logits, axis=-1)
+        @jax.jit
+        def pipeline(stacked_vars, wire_u8, offsets, key, step, carry):
+            # fold the step INSIDE the jit region: an eager fold_in would be a
+            # per-step accelerator round trip through the relay
+            step_key = jax.random.fold_in(key, step)
+            buf = unpack_fn(wire_u8, offsets, step_key)
+            x = crowd11_augment_windowed_batch(
+                buf.astype(jnp.float32),
+                step_key,
+                (SIZE, SIZE),
+                (STAGING, STAGING),
+                p=AUGMENT_P,
+            )
+            x = x.astype(jnp.bfloat16)  # cast once, shared by all members
+            xs = s2d_stem_stage(x)  # stem staging once, shared by all members
 
-        probs = jax.lax.map(member, stacked_vars)  # (M, B, C), sequential
-        fused = jnp.einsum("mbc->bc", probs)  # SUM-weight fusion
-        preds = jnp.argmax(fused, axis=-1)
-        # checksum chains iterations so one scalar fetch syncs them all
-        # (block_until_ready is unreliable through the axon relay).
-        return carry + jnp.sum(preds)
+            def member(v):
+                logits = prestaged.apply(v, xs, train=False)
+                return jax.nn.softmax(logits, axis=-1)
 
-    def read_and_pack(step: int, batch_index: int):
-        """Cache read + ragged wire packing — pure host indexing.  Each
-        clip is read from only the cache its decision needs: cropped clips
-        from the staging store, uncropped from the decode-time eval store."""
-        idx = np.arange(batch_index * BATCH, (batch_index + 1) * BATCH)
-        do_crop, _y0, _x0, _off = plan.steps[step % total_steps]
-        crop_pos = np.nonzero(do_crop)[0]
-        full_pos = np.nonzero(~do_crop)[0]
-        staging = (
-            staging_reader.read_batch(idx[crop_pos])[0]
-            if len(crop_pos)
-            else np.zeros((0, FRAMES, STAGING, STAGING, 3), np.uint8)
+            probs = jax.lax.map(member, stacked_vars)  # (M, B, C), sequential
+            fused = jnp.einsum("mbc->bc", probs)  # SUM-weight fusion
+            preds = jnp.argmax(fused, axis=-1)
+            # checksum chains iterations so one scalar fetch syncs them all
+            # (block_until_ready is unreliable through the axon relay).
+            return carry + jnp.sum(preds)
+
+        def read_and_pack(step: int, batch_index: int):
+            """Cache read + ragged wire packing — pure host indexing.  Each
+            clip is read from only the cache its decision needs: cropped clips
+            from the staging store, uncropped from the decode-time eval store."""
+            idx = np.arange(batch_index * BATCH, (batch_index + 1) * BATCH)
+            do_crop, _y0, _x0, _off = plan.steps[step % total_steps]
+            crop_pos = np.nonzero(do_crop)[0]
+            full_pos = np.nonzero(~do_crop)[0]
+            staging = (
+                staging_reader.read_batch(idx[crop_pos])[0]
+                if len(crop_pos)
+                else np.zeros((0, FRAMES, STAGING, STAGING, 3), np.uint8)
+            )
+            eval_u8 = (
+                eval_reader.read_batch(idx[full_pos])[0]
+                if len(full_pos)
+                else np.zeros((0, FRAMES, SIZE, SIZE, 3), np.uint8)
+            )
+            return pack_ragged_windows(plan, step % total_steps, staging, eval_u8)
+
+        # Warmup / compile on the first packed batch.
+        first, first_off = read_and_pack(0, 0)
+        staged = jax.device_put(first)
+        staged_off = jax.device_put(first_off)
+        float(pipeline(stacked, staged, staged_off, key, jnp.uint32(0), jnp.int32(0)))
+        _mark("pipeline_compiled")
+
+        # ---- host pipeline rate (threaded C++ pread + pack, steady-state) ---
+        for b in range(CACHE_BATCHES):
+            read_and_pack(b, b)  # warm page cache
+        t0 = time.perf_counter()
+        for b in range(CACHE_BATCHES):
+            read_and_pack(b, b)
+        host_read_cps = n_clips / (time.perf_counter() - t0)
+        _mark("host_read_measured")
+
+        # ---- effective host→device bandwidth on a real packed buffer -------
+        sync = jax.jit(lambda x: jnp.sum(x[:64].astype(jnp.int32)))
+        _ = float(sync(jax.device_put(first)))  # compile sync kernel
+        t0 = time.perf_counter()
+        x = jax.device_put(first)
+        _ = float(sync(x))
+        h2d_gbps = first.nbytes / (time.perf_counter() - t0) / 1e9
+
+        # ---- device-only pipeline rate (data resident) ----------------------
+        # (step 0's wire layout reused; the step index still varies so every
+        # dispatch is a distinct execution)
+        iters = DEVICE_ITERS
+        carry = jnp.int32(0)
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            carry = pipeline(stacked, staged, staged_off, key, jnp.uint32(0), carry)
+        float(carry)
+        device_cps = BATCH * iters / (time.perf_counter() - t0)
+        _mark("device_pipeline_measured")
+
+        # ---- END-TO-END: feeder thread (read → pack → device_put) → step ----
+        # device_put happens IN the feeder so the wire transfer overlaps the
+        # device compute of the previous batch (VERDICT r2 weak-1).
+        q: "queue.Queue" = queue.Queue(maxsize=3)
+
+        def feeder():
+            step = 0
+            for _e in range(EPOCHS):
+                for b in range(CACHE_BATCHES):
+                    wire, offsets = read_and_pack(step, b)
+                    q.put((step, jax.device_put(wire), jax.device_put(offsets)))
+                    step += 1
+            q.put(None)
+
+        t = threading.Thread(target=feeder, daemon=True)
+        carry = jnp.int32(0)
+        n_steps = 0
+        t0 = time.perf_counter()
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            step, wire_b, off_b = item
+            carry = pipeline(stacked, wire_b, off_b, key, jnp.uint32(step), carry)
+            n_steps += 1
+        float(carry)
+        e2e_cps = BATCH * n_steps / (time.perf_counter() - t0)
+        _mark("e2e_measured")
+
+        unit_str = (
+            "clips/s decode-inclusive (cache read + window pack + h2d "
+            "overlapped + device windowed augment + 4-member I3D bf16 + "
+            "fusion)"
         )
-        eval_u8 = (
-            eval_reader.read_batch(idx[full_pos])[0]
-            if len(full_pos)
-            else np.zeros((0, FRAMES, SIZE, SIZE, 3), np.uint8)
+        wire_mb_per_clip = first.nbytes / BATCH / 1e6
+        h2d_bound_cps = h2d_gbps * 1e9 / (first.nbytes / BATCH)
+        ingest_fields = {"wire_colorspace": WIRE_COLORSPACE}
+
+    else:
+        # ---- RESIDENT ingest (data.resident architecture) ---------------
+        # The decode-once store's staged clips upload to HBM ONCE as i420
+        # (1.5 B/px, the mp4's own 4:2:0 layout); every epoch derives fresh
+        # augment decisions from fold-in keys and runs the full
+        # crop/resize/flip/noise policy on device from the resident
+        # staging buffer (ops.augment.crowd11_augment_batch — the
+        # cv2-oracle-tested full path).  The link is paid once per clip
+        # per experiment, not once per clip per epoch.
+        from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
+            bgr_clip_to_i420,
+            i420_to_bgr_u8,
         )
-        return pack_ragged_windows(plan, step % total_steps, staging, eval_u8)
+        from crowded_scenes_ensemble_classification_tpu.ops.augment import (
+            crowd11_augment_batch,
+        )
 
-    # Warmup / compile on the first packed batch.
-    first, first_off = read_and_pack(0, 0)
-    staged = jax.device_put(first)
-    staged_off = jax.device_put(first_off)
-    float(pipeline(stacked, staged, staged_off, key, jnp.uint32(0), jnp.int32(0)))
-    _mark("pipeline_compiled")
+        ibytes = FRAMES * STAGING * STAGING * 3 // 2
+        convert = jax.jit(
+            jax.vmap(lambda f: i420_to_bgr_u8(f, FRAMES, STAGING, STAGING))
+        )
 
-    # ---- host pipeline rate (threaded C++ pread + pack, steady-state) ---
-    for b in range(CACHE_BATCHES):
-        read_and_pack(b, b)  # warm page cache
-    t0 = time.perf_counter()
-    for b in range(CACHE_BATCHES):
-        read_and_pack(b, b)
-    host_read_cps = n_clips / (time.perf_counter() - t0)
-    _mark("host_read_measured")
+        def read_and_pack(b: int) -> np.ndarray:
+            idx = np.arange(b * BATCH, (b + 1) * BATCH)
+            clips = staging_reader.read_batch(idx)[0]
+            return np.stack([bgr_clip_to_i420(c) for c in clips])
 
-    # ---- effective host→device bandwidth on a real packed buffer -------
-    sync = jax.jit(lambda x: jnp.sum(x[:64].astype(jnp.int32)))
-    _ = float(sync(jax.device_put(first)))  # compile sync kernel
-    t0 = time.perf_counter()
-    x = jax.device_put(first)
-    _ = float(sync(x))
-    h2d_gbps = first.nbytes / (time.perf_counter() - t0) / 1e9
+        @jax.jit
+        def pipeline(stacked_vars, resident_u8, key, step, carry):
+            step_key = jax.random.fold_in(key, step)
+            start = (step % jnp.uint32(CACHE_BATCHES)) * jnp.uint32(BATCH)
+            batch = jax.lax.dynamic_slice_in_dim(resident_u8, start, BATCH, 0)
+            x = crowd11_augment_batch(
+                batch.astype(jnp.float32), step_key, (SIZE, SIZE), p=AUGMENT_P
+            )
+            x = x.astype(jnp.bfloat16)  # cast once, shared by all members
+            xs = s2d_stem_stage(x)  # stem staging once, shared by all members
 
-    # ---- device-only pipeline rate (data resident) ----------------------
-    # (step 0's wire layout reused; the step index still varies so every
-    # dispatch is a distinct execution)
-    iters = DEVICE_ITERS
-    carry = jnp.int32(0)
-    t0 = time.perf_counter()
-    for _i in range(iters):
-        carry = pipeline(stacked, staged, staged_off, key, jnp.uint32(0), carry)
-    float(carry)
-    device_cps = BATCH * iters / (time.perf_counter() - t0)
-    _mark("device_pipeline_measured")
+            def member(v):
+                logits = prestaged.apply(v, xs, train=False)
+                return jax.nn.softmax(logits, axis=-1)
 
-    # ---- END-TO-END: feeder thread (read → pack → device_put) → step ----
-    # device_put happens IN the feeder so the wire transfer overlaps the
-    # device compute of the previous batch (VERDICT r2 weak-1).
-    q: "queue.Queue" = queue.Queue(maxsize=3)
+            probs = jax.lax.map(member, stacked_vars)  # (M, B, C), sequential
+            fused = jnp.einsum("mbc->bc", probs)  # SUM-weight fusion
+            preds = jnp.argmax(fused, axis=-1)
+            return carry + jnp.sum(preds)
 
-    def feeder():
-        step = 0
-        for _e in range(EPOCHS):
+        # Warmup / compile on device-allocated dummies (no wire traffic).
+        first = read_and_pack(0)
+        _ = convert(jnp.zeros((BATCH, ibytes), jnp.uint8))
+        dummy = jnp.zeros((n_clips, FRAMES, STAGING, STAGING, 3), jnp.uint8)
+        float(pipeline(stacked, dummy, key, jnp.uint32(0), jnp.int32(0)))
+        del dummy
+        _mark("pipeline_compiled")
+
+        # ---- host pipeline rate (threaded C++ pread + i420 pack) --------
+        for b in range(CACHE_BATCHES):
+            read_and_pack(b)  # warm page cache
+        t0 = time.perf_counter()
+        for b in range(CACHE_BATCHES):
+            read_and_pack(b)
+        host_read_cps = n_clips / (time.perf_counter() - t0)
+        _mark("host_read_measured")
+
+        # ---- effective host→device bandwidth on a real i420 chunk -------
+        sync = jax.jit(lambda x: jnp.sum(x[:64].astype(jnp.int32)))
+        _ = float(sync(jax.device_put(first)))  # compile sync kernel
+        t0 = time.perf_counter()
+        x = jax.device_put(first)
+        _ = float(sync(x))
+        h2d_gbps = first.nbytes / (time.perf_counter() - t0) / 1e9
+        del x
+
+        # ---- END-TO-END: one-time upload (timed) + all epochs on device -
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def feeder():
             for b in range(CACHE_BATCHES):
-                wire, offsets = read_and_pack(step, b)
-                q.put((step, jax.device_put(wire), jax.device_put(offsets)))
-                step += 1
-        q.put(None)
+                q.put(jax.device_put(read_and_pack(b)))
+            q.put(None)
 
-    t = threading.Thread(target=feeder, daemon=True)
-    carry = jnp.int32(0)
-    n_steps = 0
-    t0 = time.perf_counter()
-    t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        step, wire_b, off_b = item
-        carry = pipeline(stacked, wire_b, off_b, key, jnp.uint32(step), carry)
-        n_steps += 1
-    float(carry)
-    e2e_cps = BATCH * n_steps / (time.perf_counter() - t0)
-    _mark("e2e_measured")
+        t0 = time.perf_counter()
+        th = threading.Thread(target=feeder, daemon=True)
+        th.start()
+        chunks = []
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            chunks.append(convert(item))
+        resident = jnp.concatenate(chunks, axis=0)
+        del chunks
+        _ = float(sync(resident.reshape(-1)[:1024]))  # sync the upload chain
+        upload_s = time.perf_counter() - t0
+
+        total_steps = EPOCHS * CACHE_BATCHES
+        carry = jnp.int32(0)
+        t1 = time.perf_counter()
+        for s_i in range(total_steps):
+            carry = pipeline(stacked, resident, key, jnp.uint32(s_i), carry)
+        float(carry)
+        steps_s = time.perf_counter() - t1
+        n_steps = total_steps
+        e2e_cps = BATCH * total_steps / (upload_s + steps_s)
+        device_cps = BATCH * total_steps / steps_s
+        _mark("e2e_measured")
+
+        unit_str = (
+            "clips/s decode-inclusive (cache read + i420 pack + ONE-TIME "
+            f"resident upload to HBM + on-device augment/4-member I3D "
+            f"bf16/fusion per epoch; {EPOCHS} epochs over the split)"
+        )
+        wire_mb_per_clip = ibytes / 1e6
+        # value if device compute were free: the link amortized over epochs
+        h2d_bound_cps = h2d_gbps * 1e9 * EPOCHS / ibytes
+        ingest_fields = {
+            "ingest": "resident",
+            "resident_upload_s": round(upload_s, 1),
+            "resident_gb": round(n_clips * FRAMES * STAGING * STAGING * 3 / 1e9, 2),
+        }
+
 
     results = {
         "metric": "e2e_ensemble_inference_clips_per_sec_per_chip",
         "value": round(e2e_cps, 2),
-        "unit": (
-            "clips/s decode-inclusive (cache read + window pack + h2d "
-            "overlapped + device windowed augment + 4-member I3D bf16 + "
-            "fusion)"
-        ),
+        "unit": unit_str,
         "vs_baseline": round(e2e_cps / BASELINE_CLIPS_PER_SEC_PER_CHIP, 2),
         "device_pipeline_clips_per_sec": round(device_cps, 2),
         "host_read_clips_per_sec": round(host_read_cps, 2),
@@ -666,10 +815,9 @@ def main():
         # alone would sustain — if `value` ≈ this, the run is link-bound
         # (axon relay tunnel), not framework-bound.
         "wire_colorspace": WIRE_COLORSPACE,
-        "wire_mb_per_clip": round(first.nbytes / BATCH / 1e6, 2),
-        "h2d_bound_clips_per_sec": round(
-            h2d_gbps * 1e9 / (first.nbytes / BATCH), 2
-        ),
+        "wire_mb_per_clip": round(wire_mb_per_clip, 2),
+        "h2d_bound_clips_per_sec": round(h2d_bound_cps, 2),
+        **ingest_fields,
     }
     # Breakouts under a watchdog: a stuck remote compile must never cost
     # the driver the primary JSON line.  If the budget expires, print

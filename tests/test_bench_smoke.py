@@ -19,7 +19,11 @@ import sys
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_driver_contract_smoke():
+import pytest
+
+
+@pytest.mark.parametrize("ingest", ["resident", "wire"])
+def test_bench_driver_contract_smoke(ingest):
     env = dict(
         os.environ,
         BENCH_FORCE_CPU="1",
@@ -28,6 +32,7 @@ def test_bench_driver_contract_smoke():
         BENCH_EPOCHS="1",
         BENCH_DEVICE_ITERS="1",
         BENCH_SKIP_BREAKOUTS="1",
+        BENCH_INGEST=ingest,
     )
     env.pop("BENCH_TWOSTREAM_E2E", None)
     # the conftest's platform pin must not leak into the subprocess
@@ -56,9 +61,16 @@ def test_bench_driver_contract_smoke():
     ):
         assert results[field] > 0, (field, results)
     assert "unit" in results
-    # the headline wire ships 4:2:0 — half the bytes of full-chroma rgb
+    # both ingest modes ship 4:2:0 — half the bytes of full-chroma BGR
     assert results["wire_colorspace"] == "yuv420"
-    assert results["wire_mb_per_clip"] < 1.6
+    if ingest == "resident":
+        assert results["ingest"] == "resident"
+        assert results["resident_upload_s"] >= 0
+        # full 256² staging frames as i420: 20·256²·1.5 B ≈ 1.97 MB/clip
+        assert results["wire_mb_per_clip"] < 2.1
+    else:
+        # ragged crop-window wire: strictly below the full-staging size
+        assert results["wire_mb_per_clip"] < 1.6
 
 
 def test_bench_crash_still_prints_one_json_line():
