@@ -685,11 +685,19 @@ def main():
         # ---- RESIDENT ingest (data.resident architecture) ---------------
         # The decode-once store's staged clips upload to HBM ONCE as i420
         # (1.5 B/px, the mp4's own 4:2:0 layout); every epoch derives fresh
-        # augment decisions from fold-in keys and runs the full
+        # augment decisions from fold-in keys and runs i420→BGR + the full
         # crop/resize/flip/noise policy on device from the resident
         # staging buffer (ops.augment.crowd11_augment_batch — the
         # cv2-oracle-tested full path).  The link is paid once per clip
         # per experiment, not once per clip per epoch.
+        #
+        # The resident buffer stays FLAT (n_clips, ibytes) on device: a
+        # dense (N, T, 256, 256, 3) u8 array pays a 42.7× TPU layout
+        # padding (its 3-wide lane dim tiles to 128 — a 1.9 GB split asked
+        # for 80 GB on v5e); the flat 2D layout pads nothing, and the
+        # per-batch slice is decoded/reshaped INSIDE the jit region where
+        # XLA lays intermediates out per-consumer (same pattern as the
+        # ragged-wire unpack, proven at B=96 on chip).
         from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
             bgr_clip_to_i420,
             i420_to_bgr_u8,
@@ -699,9 +707,6 @@ def main():
         )
 
         ibytes = FRAMES * STAGING * STAGING * 3 // 2
-        convert = jax.jit(
-            jax.vmap(lambda f: i420_to_bgr_u8(f, FRAMES, STAGING, STAGING))
-        )
 
         def read_and_pack(b: int) -> np.ndarray:
             idx = np.arange(b * BATCH, (b + 1) * BATCH)
@@ -709,10 +714,13 @@ def main():
             return np.stack([bgr_clip_to_i420(c) for c in clips])
 
         @jax.jit
-        def pipeline(stacked_vars, resident_u8, key, step, carry):
+        def pipeline(stacked_vars, resident_i420, key, step, carry):
             step_key = jax.random.fold_in(key, step)
             start = (step % jnp.uint32(CACHE_BATCHES)) * jnp.uint32(BATCH)
-            batch = jax.lax.dynamic_slice_in_dim(resident_u8, start, BATCH, 0)
+            rows = jax.lax.dynamic_slice_in_dim(resident_i420, start, BATCH, 0)
+            batch = jax.vmap(
+                lambda f: i420_to_bgr_u8(f, FRAMES, STAGING, STAGING)
+            )(rows)
             x = crowd11_augment_batch(
                 batch.astype(jnp.float32), step_key, (SIZE, SIZE), p=AUGMENT_P
             )
@@ -728,10 +736,9 @@ def main():
             preds = jnp.argmax(fused, axis=-1)
             return carry + jnp.sum(preds)
 
-        # Warmup / compile on device-allocated dummies (no wire traffic).
+        # Warmup / compile on a device-allocated dummy (no wire traffic).
         first = read_and_pack(0)
-        _ = convert(jnp.zeros((BATCH, ibytes), jnp.uint8))
-        dummy = jnp.zeros((n_clips, FRAMES, STAGING, STAGING, 3), jnp.uint8)
+        dummy = jnp.zeros((n_clips, ibytes), jnp.uint8)
         float(pipeline(stacked, dummy, key, jnp.uint32(0), jnp.int32(0)))
         del dummy
         _mark("pipeline_compiled")
@@ -770,8 +777,8 @@ def main():
             item = q.get()
             if item is None:
                 break
-            chunks.append(convert(item))
-        resident = jnp.concatenate(chunks, axis=0)
+            chunks.append(item)
+        resident = jnp.concatenate(chunks, axis=0)  # flat (n_clips, ibytes)
         del chunks
         _ = float(sync(resident.reshape(-1)[:1024]))  # sync the upload chain
         upload_s = time.perf_counter() - t0
@@ -803,14 +810,19 @@ def main():
         }
 
 
+    def _round(x: float, nd: int = 2) -> float:
+        # never round a real-but-small measurement to 0 (the CPU smoke
+        # test runs this file at tiny sizes where rates are < 0.005)
+        return round(x, nd) if abs(x) >= 10 ** (1 - nd) else round(x, 6)
+
     results = {
         "metric": "e2e_ensemble_inference_clips_per_sec_per_chip",
-        "value": round(e2e_cps, 2),
+        "value": _round(e2e_cps),
         "unit": unit_str,
-        "vs_baseline": round(e2e_cps / BASELINE_CLIPS_PER_SEC_PER_CHIP, 2),
-        "device_pipeline_clips_per_sec": round(device_cps, 2),
-        "host_read_clips_per_sec": round(host_read_cps, 2),
-        "h2d_gbps": round(h2d_gbps, 3),
+        "vs_baseline": _round(e2e_cps / BASELINE_CLIPS_PER_SEC_PER_CHIP),
+        "device_pipeline_clips_per_sec": _round(device_cps),
+        "host_read_clips_per_sec": _round(host_read_cps),
+        "h2d_gbps": _round(h2d_gbps, 3),
         # diagnosis aids: raw wire bytes per clip and the rate the link
         # alone would sustain — if `value` ≈ this, the run is link-bound
         # (axon relay tunnel), not framework-bound.

@@ -17,6 +17,13 @@ Sizing: a staged Crowd-11 clip is T×H×W×3 u8 = 20·256²·3 ≈ 3.9 MB, so on
 dataset with room to spare.  `ResidentClips.nbytes` reports the footprint;
 callers decide residency vs the streaming BatchPipeline.
 
+Layout: pixel arrays are stored FLAT per row (`FlatRows`): the TPU's
+default tiled layout pads the two minor dims to (8, 128), so a dense
+(N, T, 256, 256, 3) u8 resident buffer would pad its 3-channel lane dim
+to 128 — 42.7× the raw bytes (measured on v5e: a 1.9 GB split allocated
+80 GB and OOMed).  The flat (N, K) layout pads nothing; the jitted
+resident steps reshape AFTER the on-device gather, inside the jit region.
+
 Sharding notes: with a mesh, clips are split contiguously over the data
 axis; datasets that don't divide evenly are padded with cycled rows that
 are NEVER marked valid (they occupy device memory but are excluded from
@@ -34,12 +41,72 @@ restores dataset order from it when collecting probabilities).
 from __future__ import annotations
 
 import math
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@jax.tree_util.register_pytree_node_class
+class FlatRows:
+    """(N, K) flat device storage for logically (N, *row_shape) samples.
+
+    TPU default layouts tile the two MINOR dims in (8, 128) blocks, so a
+    resident u8 (N, T, 256, 256, 3) buffer pads its 3-channel lane dim to
+    128 — a 42.7× HBM blowup (measured on v5e: a 1.9 GB split asked for
+    80 GB).  Stored flat, the (N, K) layout pads nothing; the jitted
+    resident steps gather flat rows and reshape INSIDE the jit region,
+    where XLA lays intermediates out per-consumer (the ragged-wire unpack
+    proved that pattern at B=96 on chip).
+
+    Registered as a pytree: jit/shard_map see the flat array as the leaf
+    and `row_shape` as static aux, so FlatRows passes through
+    device_put/tree.map/shard_map transparently.  Host-side conveniences
+    (`shape`/`nbytes`/indexing/`__array__`) present the LOGICAL dense view.
+    """
+
+    def __init__(self, flat: jax.Array, row_shape: Tuple[int, ...]):
+        self.flat = flat
+        self.row_shape = tuple(int(s) for s in row_shape)
+
+    def tree_flatten(self):
+        return (self.flat,), self.row_shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+    def densify(self) -> jax.Array:
+        """(N, K) → (N, *row_shape) — call INSIDE a jit region only (a
+        top-level dense rank-5 small-channel array re-pays the layout
+        padding this class exists to avoid)."""
+        return self.flat.reshape((self.flat.shape[0],) + self.row_shape)
+
+    # -- host conveniences (logical dense view) -------------------------
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return (self.flat.shape[0],) + self.row_shape
+
+    @property
+    def dtype(self):
+        return self.flat.dtype
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.flat.nbytes)
+
+    def __len__(self) -> int:
+        return int(self.flat.shape[0])
+
+    def __getitem__(self, i) -> jax.Array:
+        return jnp.asarray(self.flat[i]).reshape(self.row_shape)
+
+    def __array__(self, dtype=None):
+        dense = np.asarray(self.flat).reshape(self.shape)
+        return dense.astype(dtype) if dtype is not None else dense
 
 
 class ResidentClips:
@@ -134,7 +201,17 @@ class ResidentClips:
                 return a
             return a[pad_idx]
 
-        self.resident = {k: put(_padded(np.asarray(v))) for k, v in arrays.items()}
+        # Pixel-like arrays (ndim ≥ 2) are stored FLAT per row: TPU default
+        # layouts tile the two minor dims and pad tiny channel dims (3 →
+        # 128 lanes, 42.7× HBM) — see FlatRows.  Scalars-per-row (labels)
+        # stay plain.
+        def _store(a):
+            a = _padded(np.asarray(a))
+            if a.ndim < 2:
+                return put(a)
+            return FlatRows(put(a.reshape(len(a), -1)), a.shape[1:])
+
+        self.resident = {k: _store(v) for k, v in arrays.items()}
         self.resident["label"] = put(_padded(labels))
         self.labels = labels
         # per-shard count of REAL rows (pad rows sit at the global tail)

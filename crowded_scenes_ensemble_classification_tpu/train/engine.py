@@ -284,18 +284,33 @@ def make_wire_train_step(
 
 
 def _make_resident_gather(mesh: Optional[Mesh], data_axis: str):
-    """fn(resident: dict of (N, …) device arrays, indices (B,) int32) →
-    dict of (B, …) batch leaves, all on device.
+    """fn(resident: dict of FlatRows/(N,) device arrays, indices (B,)
+    int32) → dict of DENSE (B, …) batch leaves, all on device.
+
+    Resident pixels arrive as data.resident.FlatRows — flat (N, K) rows,
+    because a top-level (N, T, H, W, 3) array pays a 42.7× TPU layout
+    padding on its 3-wide lane dim — and are reshaped to dense rows AFTER
+    the gather, inside the jit region.
 
     mesh=None: one global jnp.take.  With a mesh: each device gathers rows
     from ITS OWN shard locally under shard_map — `indices` carry per-shard
     LOCAL row numbers laid out shard-block-major (exactly the layout
     data.resident.ResidentClips.batches emits), so no resident bytes ever
     cross devices."""
+    from ..data.resident import FlatRows
+
+    def _densify(tree):
+        return jax.tree.map(
+            lambda x: x.densify() if isinstance(x, FlatRows) else x,
+            tree,
+            is_leaf=lambda x: isinstance(x, FlatRows),
+        )
+
     if mesh is None:
 
         def gather(resident, indices):
-            return jax.tree.map(lambda a: jnp.take(a, indices, axis=0), resident)
+            dense = jax.tree.map(lambda a: jnp.take(a, indices, axis=0), resident)
+            return _densify(dense)
 
         return gather
 
@@ -305,7 +320,7 @@ def _make_resident_gather(mesh: Optional[Mesh], data_axis: str):
         from jax.experimental.shard_map import shard_map
 
     def _local(resident, idx):
-        return jax.tree.map(lambda a: a[idx], resident)
+        return _densify(jax.tree.map(lambda a: a[idx], resident))
 
     return shard_map(
         _local,
