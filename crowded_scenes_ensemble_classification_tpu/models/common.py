@@ -123,13 +123,24 @@ def quant_conv_general(
     The weight scale is `max|W[..., f]| / 127` per output feature f; the
     activation scale is `max|x| / 127` over the whole tensor (computed at
     run time, so no calibration pass is needed).  Both operands round to
-    int8 and the contraction accumulates in int32 — on TPU v5e the MXU's
-    int8 rate is 2× its bf16 rate, which is the whole point.  Rounding
-    never overflows: `|x|/sx ≤ 127` by construction of sx.
+    int8 and the contraction accumulates in int32 — the TPU v5e MXU's
+    int8 rate is 2× its bf16 rate.  Rounding never overflows:
+    `|x|/sx ≤ 127` by construction of sx.
 
-    Inference-only (round() has a zero gradient).  Reference op being
-    accelerated: the Conv3D inside conv3d_bn (train.py:615-670); accuracy
-    deltas are gated in tests/test_quant.py.
+    MEASURED CLOSE-OUT (v5e, round 3): dynamic whole-model int8 is a
+    NEGATIVE result for throughput at I3D's channel widths — the
+    4-member ensemble pipeline ran 128.4 clips/s int8 vs 214.0 bf16 at
+    B=48.  The dynamic scheme's per-layer abs-max reduction, round/cast
+    pass, and f32 dequant write are three extra HBM passes over every
+    activation tensor, and the convs are not MXU-bound enough for the
+    2× int8 rate to win them back.  The path ships as an accuracy-gated
+    CAPABILITY (identical parameter trees; useful where int8 wins:
+    static-scale serving pipelines, memory-capacity-bound deployments),
+    not as the default.
+
+    Inference-only (round() has a zero gradient).  Reference op:
+    the Conv3D inside conv3d_bn (train.py:615-670); accuracy deltas are
+    gated in tests/test_quant.py.
     """
     kf = kernel.astype(jnp.float32)
     sw = jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1)))  # (F,)
