@@ -187,6 +187,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="export a lean module that takes the stacked member "
                         "parameters at call time instead of baking them in "
                         "as constants (serve reloads them from --work-dir)")
+    p.add_argument("--quant", action="store_true",
+                   help="bake int8 conv contractions into the artifact "
+                        "(models.common.quant_conv_general; same member "
+                        "checkpoints, accuracy-gated) — for memory-bound "
+                        "deployment targets")
     p.add_argument("--mesh-member", type=int, default=None, metavar="M",
                    help="with --mesh-data: export a MULTI-CHIP artifact over "
                         "an (member=M, data=N) jax.sharding.Mesh — SPMD "
@@ -235,6 +240,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "model window)")
     p.add_argument("--recompute", action="store_true",
                    help="recompute even if the probability cache exists")
+    p.add_argument("--quant", action="store_true",
+                   help="int8 member inference (TPU MXU int8 path — same "
+                        "checkpoints, accuracy-gated in tests/test_quant.py); "
+                        "caches at a separate `…_int8` npz path")
 
     p = sub.add_parser("ensemble", help="ensemble evaluation")
     _add_config_flags(p)
@@ -250,6 +259,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "computed on miss)")
     p.add_argument("--window-stride", type=int, default=None)
     p.add_argument("--long-frames", type=int, default=None)
+    p.add_argument("--quant", action="store_true",
+                   help="consume (computing on miss) the `…_int8` "
+                        "quantized probability caches — see `probs --quant`")
     p.add_argument(
         "--models", "-ml", nargs="*", default=None,
         help="model specs for global/combine ops, e.g. C3D_SCRATCH "
@@ -398,7 +410,9 @@ def main(argv=None) -> int:
 
         config = _config_from_args(args)
         layout = WorkLayout(args.work_dir)
-        bundle = build_model(config.model_type, config.num_classes)
+        bundle = build_model(
+            config.model_type, config.num_classes, quant=args.quant
+        )
         variables, names = _member_variables(config, layout, bundle, args.test_index)
         weights = np.load(args.weights_npy) if args.weights_npy else None
         example = serving_batch_example(
@@ -437,6 +451,7 @@ def main(argv=None) -> int:
             "num_classes": config.num_classes,
             "test_index": args.test_index,
             "members": names,
+            "quant": args.quant,
             "input_scale": config.input_scale,
             "platforms": platforms,
             "params_baked": mesh is None and not args.no_bake_params,
@@ -551,6 +566,7 @@ def main(argv=None) -> int:
                 window_stride=args.window_stride,
                 long_frames=args.long_frames,
                 recompute=args.recompute,
+                quant=args.quant,
             )
             print(path)
             if args.export_csv:
@@ -579,6 +595,8 @@ def main(argv=None) -> int:
                 window_stride=args.window_stride,
                 long_frames=args.long_frames,
             )
+        if args.quant:
+            provider_kwargs["quant"] = True
         provider = make_prob_provider(config, layout, **provider_kwargs)
         if args.operation == "evaluate":
             res = evaluate_ensembles(

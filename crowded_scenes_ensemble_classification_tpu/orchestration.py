@@ -526,6 +526,7 @@ def cache_probabilities(
     window_stride: Optional[int] = None,
     long_frames: Optional[int] = None,
     input_scale: Optional[float] = None,
+    quant: bool = False,
 ) -> str:
     """(M, N, C) member probabilities for one test fold → npz cache
     (reference store_probabilities; subset='train_val' concatenates train and
@@ -542,10 +543,19 @@ def cache_probabilities(
 
     input_scale=None reads config.input_scale — the SAME scale the
     members trained with (train_member), so cached softmax can't be
-    computed on differently-scaled inputs."""
+    computed on differently-scaled inputs.
+
+    quant=True runs member inference with int8 conv contractions
+    (models.common.quant_conv_general; same checkpoints, accuracy-gated
+    in tests/test_quant.py).  Quantized softmax caches live at their own
+    `…_int8` npz path so a bf16/f32 cache is never silently returned for
+    a quantized request (or vice versa).  Ignored when an explicit
+    `bundle` is supplied."""
     if input_scale is None:
         input_scale = config.input_scale
-    bundle = bundle or build_model(config.model_type, config.num_classes)
+    bundle = bundle or build_model(
+        config.model_type, config.num_classes, quant=quant
+    )
     variant = ""
     if long_video:
         if config.is_two_stream:
@@ -553,6 +563,8 @@ def cache_probabilities(
         long_frames = long_frames or 4 * config.clip.frames
         window_stride = window_stride or max(config.clip.frames // 2, 1)
         variant = f"_long{long_frames}s{window_stride}"
+    if quant:
+        variant += "_int8"
     path = probability_cache_path(
         layout.probs_dir, config.subfolder_name(), t, subset, variant=variant
     )

@@ -328,6 +328,67 @@ def test_probs_long_video_cli(tmp_path, capsys):
     np.testing.assert_allclose(d["probs"].sum(-1), 1.0, atol=1e-4)
 
 
+def test_probs_quant_cli(tmp_path, capsys):
+    """`probs --quant` runs int8 member inference (models.common.
+    quant_conv_general) from the same checkpoints and caches at its own
+    `…_int8` npz path — a bf16/f32 cache is never silently returned for
+    a quantized request."""
+    import jax
+
+    from crowded_scenes_ensemble_classification_tpu.core.config import (
+        ExperimentConfig,
+    )
+    from crowded_scenes_ensemble_classification_tpu.models import build_model
+    from crowded_scenes_ensemble_classification_tpu.orchestration import WorkLayout
+    from crowded_scenes_ensemble_classification_tpu.train.checkpoints import (
+        save_best,
+    )
+
+    work = str(tmp_path / "work")
+    cfg = ExperimentConfig(model_type="C3D", folds_number=3, num_classes=3,
+                           batch_size=2)
+    layout = WorkLayout(work)
+
+    rng = np.random.default_rng(0)
+    clip_dir = tmp_path / "clips"
+    clip_dir.mkdir()
+    rows = []
+    for i in range(4):
+        clip = rng.integers(0, 255, (16, 64, 64, 3)).astype(np.uint8)
+        p = str(clip_dir / f"clip{i}.npy")
+        np.save(p, clip)
+        rows.append({"rgbclips_path": p, "x_axis_flowclips_path": "",
+                     "y_axis_flowclips_path": "", "class": i % 3})
+    csv_path = layout.split_csv(0, 1, "test")
+    os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+
+    bundle = build_model("C3D", 3)
+    for v in (1, 2):
+        save_best(layout.checkpoint_dir(cfg, 0, v),
+                  bundle.init(jax.random.key(v)))
+
+    rc = main([
+        "probs", "--work-dir", work, "-mt", "C3D", "-fn", "3",
+        "--num-classes", "3", "-bs", "2", "--test-index", "0", "--quant",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip()
+    assert out.endswith("_int8.npz") and os.path.exists(out)
+
+    from crowded_scenes_ensemble_classification_tpu.ensemble.probability_store import (
+        load_probabilities,
+        probability_cache_path,
+    )
+
+    d = load_probabilities(out)
+    assert d["probs"].shape == (2, 4, 3)
+    np.testing.assert_allclose(d["probs"].sum(-1), 1.0, atol=1e-4)
+    # the standard-window f32 cache is a DIFFERENT artifact
+    std = probability_cache_path(layout.probs_dir, cfg.subfolder_name(), 0, "test")
+    assert std != out and not os.path.exists(std)
+
+
 def test_input_scale_resolution_from_saved_config(tmp_path):
     """probs/ensemble/report recover the input_scale that launch/train
     persisted for this config (WorkLayout.experiment_json); an explicit
