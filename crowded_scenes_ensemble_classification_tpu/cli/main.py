@@ -63,6 +63,13 @@ def _add_config_flags(p: argparse.ArgumentParser):
              "reference parity raw 0-255 floats)",
     )
     p.add_argument(
+        "--flow-from-augmented", action="store_true",
+        help="augmented FarneBack_onTheFly runs: compute flow from the "
+             "AUGMENTED frames (exact reference semantics, train.py:176-184"
+             " — the SPECIALCASE TwoStream config); default computes flow "
+             "from the unaugmented staged frames (see PARITY.md)",
+    )
+    p.add_argument(
         "--mesh-data", type=int, default=None, metavar="N",
         help="shard batches (and resident datasets) over an N-device "
              "data-parallel jax.sharding.Mesh; -1 = all local devices "
@@ -92,6 +99,7 @@ def _config_from_args(args) -> ExperimentConfig:
         batch_size=args.batch_size,
         epochs=args.epochs,
         input_scale=args.input_scale if args.input_scale is not None else 1.0,
+        flow_from_augmented=getattr(args, "flow_from_augmented", False),
     )
     if args.input_scale is None and getattr(args, "work_dir", None):
         # Recover the scale the members trained with: launch/train persist

@@ -111,6 +111,14 @@ class ExperimentConfig:
     # from here, and the launch/train CLIs persist it with the rest of
     # the experiment identity.
     input_scale: float = 1.0
+    # Exact augmented-Farnebäck semantics (reference train.py:176-184):
+    # in augmented_onTheFly + FarneBack_onTheFly runs, compute flow from
+    # the AUGMENTED frames (same crop/flip decisions as the rgb stream,
+    # plus salt/pepper before flow).  False (default) computes flow from
+    # the unaugmented staged frames — the TVL1-augmented mode's semantics
+    # (train.py:195-221); see PARITY.md.  Only meaningful for TwoStream
+    # augmented on-the-fly-flow experiments (the SPECIALCASE config).
+    flow_from_augmented: bool = False
 
     def __post_init__(self):
         if self.model_type not in MODEL_TYPES:

@@ -127,6 +127,82 @@ def identity_resize_batch(clips: jax.Array, out_hw: Tuple[int, int]) -> jax.Arra
     return jax.vmap(lambda c: crop_resize(c, out_hw))(clips)
 
 
+def crowd11_augment_gray_pair_batch(
+    gray: jax.Array,
+    gray_next: jax.Array,
+    key: jax.Array,
+    p: float = 0.75,
+    crop_margin: int = CROP_MARGIN,
+    noise_ratio: int = NOISE_RATIO,
+    apply_noise: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Apply the rgb stream's augmentation to the Farnebäck gray staging
+    pairs — the reference's augmented-Farnebäck TwoStream mode, where flow
+    is computed from the AUGMENTED frames (train.py:176-184: the whole
+    decoded clip is augmented first, then opticalflow_FarneBack_extractor
+    runs on the augmented frames).
+
+    `gray`/`gray_next` are (B, T, H, W, 1) float staging frames at the SAME
+    resolution as the rgb staging.  Per-clip keys are split exactly like
+    `crowd11_augment_batch` (split key into B, then split 7 per clip), so
+    the crop window and flip decisions are bit-identical to the ones the
+    rgb stream applies — the two streams stay geometrically aligned, like
+    the reference's single augmented frame list feeding both.
+
+    Deviations (documented in PARITY.md): salt/pepper draws here are
+    per-gray-pixel at staging resolution with stream-tagged subkeys
+    (fold_in(k_salt, 0|1)), not the grayscale projection of the rgb
+    stream's per-channel draws (the staged pipeline no longer has the rgb
+    channels of the flow frames); the crop window is resampled back to
+    staging resolution before flow (the reference ran flow on the cropped
+    frames rescaled to max-dim-224 — both paths resample once).
+    """
+
+    def one(g, gn, kk):
+        t, h, w, _ = g.shape
+        k_crop_gate, k_crop_pos, k_flip, k_salt_gate, k_salt, k_pep_gate, k_pep = (
+            jax.random.split(kk, 7)
+        )
+        ch, cw = max(h - crop_margin, 1), max(w - crop_margin, 1)
+        do_crop = jax.random.bernoulli(k_crop_gate, p)
+        ky, kx = jax.random.split(k_crop_pos)
+        y0 = jax.random.randint(ky, (), 0, h - ch + 1)
+        x0 = jax.random.randint(kx, (), 0, w - cw + 1)
+        win_y0 = jnp.where(do_crop, y0, 0).astype(jnp.float32)
+        win_x0 = jnp.where(do_crop, x0, 0).astype(jnp.float32)
+        win_h = jnp.where(do_crop, float(ch), float(h))
+        win_w = jnp.where(do_crop, float(cw), float(w))
+        do_flip = jax.random.bernoulli(k_flip, p)
+
+        def spatial(frames):
+            return crop_resize(
+                frames,
+                (h, w),
+                win_start_yx=(win_y0, win_x0),
+                win_size_hw=(win_h, win_w),
+                flip_x=do_flip,
+            )
+
+        g_out, gn_out = spatial(g), spatial(gn)
+        if apply_noise:
+            do_salt = jax.random.bernoulli(k_salt_gate, p)
+            do_pepper = jax.random.bernoulli(k_pep_gate, p)
+
+            def noise(frames, stream):
+                ks = jax.random.fold_in(k_salt, stream)
+                kp = jax.random.fold_in(k_pep, stream)
+                salt = jax.random.randint(ks, frames.shape, 0, noise_ratio) == 0
+                out = jnp.where(do_salt & salt, 255.0, frames)
+                pep = jax.random.randint(kp, frames.shape, 0, noise_ratio) == 0
+                return jnp.where(do_pepper & pep, 0.0, out)
+
+            g_out, gn_out = noise(g_out, 0), noise(gn_out, 1)
+        return g_out, gn_out
+
+    keys = jax.random.split(key, gray.shape[0])
+    return jax.vmap(one)(gray, gray_next, keys)
+
+
 # ----------------------------------------------------------------------
 # Window transfers: host slices the crop window, device does the math.
 #

@@ -263,6 +263,7 @@ def train_member(
                 l2_weight=l2w,
                 mesh=mesh,
                 input_scale=input_scale,
+                flow_from_augmented=config.flow_from_augmented,
             )
         if eval_step is None:
             eval_step = make_eval_step(
@@ -294,6 +295,7 @@ def train_member(
         metrics_logger=metrics_logger,
         train_step=train_step,
         eval_step=eval_step,
+        flow_from_augmented=config.flow_from_augmented,
     )
 
     best_vars = restore_best(ckpt_dir, result["state"].variables())
@@ -365,6 +367,8 @@ def member_cli_commands(
         )
         if config.input_scale != 1.0:
             cmd += f" --input-scale {config.input_scale}"
+        if config.flow_from_augmented:
+            cmd += " --flow-from-augmented"
         if rgb_h5:
             cmd += f" --rgb-h5 {rgb_h5}"
         if flow_h5:
@@ -445,6 +449,7 @@ def launch_ensemble_training(
                 augment_p=0.75,
                 l2_weight=l2w,
                 input_scale=input_scale,
+                flow_from_augmented=config.flow_from_augmented,
             ),
             eval_step=make_eval_step(bundle, out_hw, input_scale=input_scale),
         )

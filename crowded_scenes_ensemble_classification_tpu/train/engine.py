@@ -47,13 +47,21 @@ def _preprocess(
     input_scale: float = 1.0,
     flow_fast_warp: bool = False,
     flow_params: Optional[dict] = None,
+    flow_from_augmented: bool = False,
 ):
     """uint8 staging batch → float32 model inputs, on device.
 
     input_scale=1.0 reproduces the reference exactly: raw 0-255 BGR floats
     with NO normalization anywhere (train.py:283-289 — a documented quirk).
     Scratch training is far more stable with input_scale=1/255; weight
-    converters for reference checkpoints must use 1.0."""
+    converters for reference checkpoints must use 1.0.
+
+    flow_from_augmented=True (augmented on-device-Farnebäck runs only):
+    the gray pairs get the SAME crop/flip decisions as the rgb stream plus
+    salt/pepper before flow — the reference's augmented-Farnebäck mode
+    computed flow from the augmented frames (train.py:176-184).  The
+    default (False) computes flow from the unaugmented staged frames,
+    matching the TVL1-augmented mode's semantics (train.py:195-221)."""
     rgb = batch["rgb"].astype(jnp.float32)
     if augment:
         rgb = crowd11_augment_batch(rgb, rng, out_hw, p=p)
@@ -79,8 +87,16 @@ def _preprocess(
             kw = dict(flow_params or {})
             kw.setdefault("fast_warp", flow_fast_warp)
             kw.setdefault("chunk_pairs", FLOW_CHUNK_PAIRS)
-            gray = batch["gray"].astype(jnp.float32)[..., 0]
-            gray_next = batch["gray_next"].astype(jnp.float32)[..., 0]
+            gray4 = batch["gray"].astype(jnp.float32)
+            gray_next4 = batch["gray_next"].astype(jnp.float32)
+            if augment and flow_from_augmented:
+                from ..ops.augment import crowd11_augment_gray_pair_batch
+
+                gray4, gray_next4 = crowd11_augment_gray_pair_batch(
+                    gray4, gray_next4, rng, p=p
+                )
+            gray = gray4[..., 0]
+            gray_next = gray_next4[..., 0]
             # flat-batch form — nested vmap halves flow throughput
             # (farneback.farneback_flow_batch)
             flows = farneback_flow_batch(gray, gray_next, **kw)
@@ -150,6 +166,7 @@ def _make_dense_train_body(
     input_scale: float,
     flow_fast_warp: bool = False,
     flow_params: Optional[dict] = None,
+    flow_from_augmented: bool = False,
 ):
     """The unjitted dense-batch train body shared by make_train_step and
     make_resident_train_step: fn(state, batch, class_weights) with batch
@@ -163,7 +180,7 @@ def _make_dense_train_body(
         rng_aug, rng_drop = jax.random.split(rng)
         inputs = _preprocess(
             batch, rng_aug, out_hw, augment, augment_p, two_stream, input_scale,
-            flow_fast_warp, flow_params,
+            flow_fast_warp, flow_params, flow_from_augmented,
         )
         labels = batch["label"].astype(jnp.int32)
         mask = batch["valid"].astype(jnp.float32)
@@ -184,10 +201,11 @@ def make_train_step(
     input_scale: float = 1.0,
     flow_fast_warp: bool = False,
     flow_params: Optional[dict] = None,
+    flow_from_augmented: bool = False,
 ):
     train_step = _make_dense_train_body(
         bundle, tx, out_hw, augment, augment_p, l2_weight, input_scale,
-        flow_fast_warp, flow_params,
+        flow_fast_warp, flow_params, flow_from_augmented,
     )
 
     if mesh is not None:
@@ -342,6 +360,7 @@ def make_resident_train_step(
     input_scale: float = 1.0,
     flow_fast_warp: bool = False,
     flow_params: Optional[dict] = None,
+    flow_from_augmented: bool = False,
 ):
     """Train step over an HBM-RESIDENT dataset (data.resident.ResidentClips):
     fn(state, batch, class_weights) with batch = {"resident": {name → (N, …)
@@ -359,7 +378,7 @@ def make_resident_train_step(
     resident array), and on-device Farnebäck ("gray"/"gray_next")."""
     body = _make_dense_train_body(
         bundle, tx, out_hw, augment, augment_p, l2_weight, input_scale,
-        flow_fast_warp, flow_params,
+        flow_fast_warp, flow_params, flow_from_augmented,
     )
     gather = _make_resident_gather(mesh, data_axis)
 
@@ -554,6 +573,7 @@ def fit(
     resume_full: bool = False,
     train_step=None,
     eval_step=None,
+    flow_from_augmented: bool = False,
 ) -> Dict[str, Any]:
     """Epoch loop with the reference's callback semantics.  Returns
     {'history': {...}, 'state': final TrainState, 'best_val_loss': float}.
@@ -605,7 +625,7 @@ def fit(
     if train_step is None:
         train_step = make_train_step(
             bundle, tx, out_hw, augment, augment_p, l2w, mesh,
-            input_scale=input_scale,
+            input_scale=input_scale, flow_from_augmented=flow_from_augmented,
         )
     # One jitted eval step for the whole fit: rebuilding it per epoch would
     # retrace (and, on TPU backends without a persistent compile cache,
