@@ -309,7 +309,9 @@ def build_parser() -> argparse.ArgumentParser:
              "(reference train.py:41-57, get_file at :808)",
     )
     p.add_argument(
-        "--model-type", "-mt", choices=["C3D", "I3D", "TWOSTREAM_I3D"],
+        "--model-type", "-mt",
+        choices=["C3D", "I3D", "TWOSTREAM_I3D",
+                 "R3D_18", "R3D_34", "R3D_50", "R3D_101", "R3D_152"],
         default="I3D",
     )
     p.add_argument("--rgb-h5", default=None, help="local Keras h5 (rgb stream)")

@@ -97,7 +97,18 @@ def load_pretrained_variables(
             wio.read_keras_h5(rgb_h5), wio.read_keras_h5(flow_h5)
         )
         return wio.merge_pretrained(fresh_variables, converted)
-    # R3D family: no pretrained path exists in the reference
+    if model_type.startswith("R3D"):
+        # The reference trains R3D from scratch (train.py:1683-1707) —
+        # there is no published checkpoint — but a Keras-layout h5 (e.g.
+        # trained elsewhere, or a golden-parity fixture) loads through the
+        # same real conversion path as the other families when given.
+        if rgb_h5 is None:
+            return fresh_variables
+        depth = int(model_type.split("_")[1])
+        converted = wio.r3d_variables_from_keras(
+            wio.read_keras_h5(rgb_h5), depth, num_classes=num_classes
+        )
+        return wio.merge_pretrained(fresh_variables, converted)
     return fresh_variables
 
 

@@ -308,3 +308,130 @@ def merge_pretrained(init_variables: Dict, pretrained: Dict) -> Dict:
     for col in merged:
         check(init_variables.get(col, {}), pretrained.get(col, {}), col)
     return merged
+
+
+# ----------------------------------------------------------------------
+# R3D
+# ----------------------------------------------------------------------
+
+
+def _r3d_layer_walk(depth: int):
+    """(flax module path, keras auto-name, kind) triples in the reference's
+    construction order (Resnet3DBuilder.build, train.py:1483-1516).
+
+    The reference never names its R3D layers, so Keras 2.2.4 auto-names
+    them per type with fresh-session counters (conv3d_1…, 
+    batch_normalization_1…, dense_1); the reference builds one model per
+    process and clears the session afterwards (train.py:2050), so a
+    from-scratch checkpoint it saves carries exactly these names.  Layer
+    creation order per block follows basic_block/bottleneck
+    (train.py:1368-1425): [preact bn] → conv(s), with the `_shortcut3d`
+    projection conv created LAST (train.py:1324-1346, called after the
+    residual path)."""
+    from .r3d import R3D_PRESETS
+
+    kind, reps = R3D_PRESETS[depth]
+    conv_n = 0
+    bn_n = 0
+    entries = []
+
+    def conv(path):
+        nonlocal conv_n
+        conv_n += 1
+        entries.append((path, f"conv3d_{conv_n}", "conv"))
+
+    def bn(path):
+        nonlocal bn_n
+        bn_n += 1
+        entries.append((path, f"batch_normalization_{bn_n}", "bn"))
+
+    conv(("conv1",))
+    bn(("stem_bnrelu", "bn"))
+    in_ch = 64
+    for s, r in enumerate(reps):
+        filters = 64 * (2**s)
+        out_ch = filters * (4 if kind == "bottleneck" else 1)
+        for i in range(r):
+            blk = f"stage{s}_block{i}"
+            first = s == 0 and i == 0
+            strided = i == 0 and s != 0
+            if not first:
+                bn((blk, "preact1", "bn"))
+            conv((blk, "conv1"))
+            bn((blk, "preact2", "bn"))
+            conv((blk, "conv2"))
+            if kind == "bottleneck":
+                bn((blk, "preact3", "bn"))
+                conv((blk, "conv3"))
+            if strided or in_ch != out_ch:
+                conv((blk, "shortcut", "proj"))
+            in_ch = out_ch
+    bn(("final_bnrelu", "bn"))
+    entries.append((("predictions",), "dense_1", "dense"))
+    return entries
+
+
+def r3d_variables_from_keras(
+    h5_layers: Dict[str, Dict[str, np.ndarray]],
+    depth: int,
+    num_classes: Optional[int] = None,
+) -> Dict:
+    """Keras-layout R3D checkpoint → Flax variables ({'params', 
+    'batch_stats'}).  The reference trains R3D from scratch
+    (train.py:1683-1707) so no published checkpoint exists; this converter
+    exists so checkpoints trained elsewhere (or the golden-parity fixtures)
+    load through the same real conversion path as C3D/I3D.
+
+    When `num_classes` differs from the checkpoint head width, the head is
+    dropped (merge keeps the fresh init) — the C3D pop-softmax convention."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(tree, path, leaf):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = leaf
+
+    for path, name, kind in _r3d_layer_walk(depth):
+        w = h5_layers[name]
+        if kind in ("conv", "dense"):
+            if kind == "dense" and num_classes is not None and (
+                np.asarray(w["kernel"]).shape[-1] != num_classes
+            ):
+                continue
+            put(params, path + ("kernel",), np.asarray(w["kernel"], np.float32))
+            put(params, path + ("bias",), np.asarray(w["bias"], np.float32))
+        else:  # bn: full affine (Keras BatchNormalization defaults)
+            put(params, path + ("scale",), np.asarray(w["gamma"], np.float32))
+            put(params, path + ("bias",), np.asarray(w["beta"], np.float32))
+            put(stats, path + ("mean",), np.asarray(w["moving_mean"], np.float32))
+            put(stats, path + ("var",), np.asarray(w["moving_variance"], np.float32))
+    return {"params": params, "batch_stats": stats}
+
+
+def r3d_variables_to_keras(variables: Dict, depth: int) -> Dict:
+    """Inverse of r3d_variables_from_keras (for fixture round-trips)."""
+    def get(tree, path):
+        node = tree
+        for k in path:
+            node = node[k]
+        return node
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    layers: Dict = {}
+    for path, name, kind in _r3d_layer_walk(depth):
+        if kind in ("conv", "dense"):
+            layers[name] = {
+                "kernel": np.asarray(get(params, path + ("kernel",))),
+                "bias": np.asarray(get(params, path + ("bias",))),
+            }
+        else:
+            layers[name] = {
+                "gamma": np.asarray(get(params, path + ("scale",))),
+                "beta": np.asarray(get(params, path + ("bias",))),
+                "moving_mean": np.asarray(get(stats, path + ("mean",))),
+                "moving_variance": np.asarray(get(stats, path + ("var",))),
+            }
+    return layers

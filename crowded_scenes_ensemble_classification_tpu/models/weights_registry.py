@@ -116,8 +116,9 @@ def convert_keras_checkpoint(
     """Convert reference-format Keras h5 checkpoint(s) into a single
     msgpack variables file loadable by ``load_converted_variables``.
 
-    model_type: C3D | I3D | TWOSTREAM_I3D (R3D has no pretrained path in
-    the reference, train.py:1683-1707).
+    model_type: C3D | I3D | TWOSTREAM_I3D | R3D_{18,34,50,101,152} (the
+    reference trains R3D from scratch, train.py:1683-1707 — R3D conversion
+    is for checkpoints trained elsewhere).
 
     For C3D the checkpoint head is kept verbatim (e.g. sports1M's 487-way
     fc8); the pop-softmax surgery (train.py:1672-1678) happens at LOAD
@@ -162,6 +163,18 @@ def convert_keras_checkpoint(
             raise ValueError("TWOSTREAM_I3D conversion needs --rgb-h5 and --flow-h5")
         variables = wio.twostream_variables_from_keras(
             wio.read_keras_h5(rgb_h5), wio.read_keras_h5(flow_h5)
+        )
+    elif model_type.startswith("R3D_"):
+        # No published R3D checkpoint exists (the reference trains from
+        # scratch, train.py:1683-1707), but Keras-layout R3D checkpoints
+        # trained elsewhere convert through the same golden-tested path
+        # (weights_io.r3d_variables_from_keras).
+        if rgb_h5 is None:
+            raise ValueError(f"{model_type} conversion needs --rgb-h5")
+        variables = wio.r3d_variables_from_keras(
+            wio.read_keras_h5(rgb_h5),
+            int(model_type.split("_")[1]),
+            num_classes=num_classes,
         )
     else:
         raise ValueError(

@@ -1,0 +1,91 @@
+"""R3D load→forward golden chain (VERDICT r3 #5): write a Keras-layout h5 →
+read_keras_h5 → r3d_variables_from_keras → merge onto init → flax forward,
+compared against the independent float64 oracle (oracle_r3d) at
+f32-rounding tolerances — well inside the 1e-4 BASELINE.json softmax bar.
+
+Covers the two layer semantics the generic ConvBN tests don't reach:
+`_shortcut3d` projection convs (stride AND channel-mismatch cases,
+reference train.py:1324-1346) and the bottleneck block (train.py:1396-1425).
+The reference trains R3D from scratch, so the fixture checkpoints are
+seeded-random in the exact Keras auto-name layout a reference-trained
+checkpoint would carry.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crowded_scenes_ensemble_classification_tpu.models import weights_io as wio
+
+from oracle_r3d import r3d_forward, random_r3d_h5_layers
+
+
+def _golden_chain(tmp_path, depth: int, x: np.ndarray, seed: int):
+    layers = random_r3d_h5_layers(seed=seed, depth=depth, num_classes=11)
+    h5_path = wio.write_keras_h5(str(tmp_path / f"r3d{depth}_synth.h5"), layers)
+
+    from crowded_scenes_ensemble_classification_tpu.models import R3D
+    from crowded_scenes_ensemble_classification_tpu.models.pretrained import (
+        load_pretrained_variables,
+    )
+
+    module = R3D(num_classes=11, depth=depth)
+    fresh = module.init(jax.random.key(0), jnp.zeros_like(jnp.asarray(x)))
+    variables = load_pretrained_variables(
+        f"R3D_{depth}", fresh, 11, rgb_h5=h5_path
+    )
+
+    logits = module.apply(variables, jnp.asarray(x), train=False)
+    softmax = np.asarray(jax.nn.softmax(logits, -1))
+    oracle = r3d_forward(layers, x, depth)
+    return np.asarray(logits), softmax, oracle
+
+
+@pytest.mark.slow
+def test_full_r3d18_keras_checkpoint_forward_matches_oracle(tmp_path):
+    """Reference R3D-18 geometry (16×112×112, train.py:1603-1611): basic
+    blocks, stride-2 stage transitions → stride projections, and the
+    T=1-by-stage-3 ceil-ratio stride quirk (proj strides (1,2,2) while the
+    residual path used (2,2,2))."""
+    rng = np.random.default_rng(31)
+    x = rng.uniform(0, 1, (1, 16, 112, 112, 3)).astype(np.float32)
+    logits, softmax, oracle = _golden_chain(tmp_path, 18, x, seed=30)
+    np.testing.assert_allclose(logits, oracle["logits"], atol=2e-5)
+    np.testing.assert_allclose(softmax, oracle["softmax"], atol=1e-4)
+    np.testing.assert_allclose(softmax, oracle["softmax"], atol=5e-6)
+
+
+@pytest.mark.slow
+def test_full_r3d50_keras_checkpoint_forward_matches_oracle(tmp_path):
+    """R3D-50: bottleneck blocks (train.py:1396-1425) incl. the stage-0
+    first-block CHANNEL-mismatch projection (64→256 at stride 1).  Smaller
+    spatial input — layer semantics don't depend on the canvas and the
+    float64 oracle at 112² would dominate suite time."""
+    rng = np.random.default_rng(41)
+    x = rng.uniform(0, 1, (1, 16, 64, 64, 3)).astype(np.float32)
+    logits, softmax, oracle = _golden_chain(tmp_path, 50, x, seed=40)
+    np.testing.assert_allclose(logits, oracle["logits"], atol=2e-5)
+    np.testing.assert_allclose(softmax, oracle["softmax"], atol=1e-4)
+    np.testing.assert_allclose(softmax, oracle["softmax"], atol=5e-6)
+
+
+def test_r3d_keras_roundtrip():
+    """to_keras ∘ from_keras is the identity on every layer."""
+    layers = random_r3d_h5_layers(seed=5, depth=18, num_classes=4)
+    variables = wio.r3d_variables_from_keras(layers, 18)
+    back = wio.r3d_variables_to_keras(variables, 18)
+    assert set(back) == set(layers)
+    for name in layers:
+        for k in layers[name]:
+            kk = k
+            np.testing.assert_array_equal(back[name][k], layers[name][k])
+
+
+def test_r3d_head_surgery_on_class_mismatch():
+    """A checkpoint with a different head width keeps the fresh head."""
+    layers = random_r3d_h5_layers(seed=6, depth=18, num_classes=7)
+    converted = wio.r3d_variables_from_keras(layers, 18, num_classes=11)
+    assert "predictions" not in converted["params"]
