@@ -1,0 +1,62 @@
+"""CI check: the README's driver-verified perf table is generated from the
+newest BENCH_r*.json (tools/readme_bench.py) and must never go stale or be
+hand-edited (VERDICT r3 #7 — headline-number drift across docs)."""
+
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import readme_bench  # noqa: E402
+
+
+def test_readme_bench_table_is_fresh():
+    assert readme_bench.apply(check=True), (
+        "README.md bench table is stale — run `python tools/readme_bench.py`"
+    )
+
+
+def test_readme_headline_matches_latest_artifact():
+    _, artifact = readme_bench.latest_bench()
+    headline = artifact["parsed"]["value"]
+    with open(os.path.join(REPO, "README.md")) as f:
+        text = f.read()
+    block = re.search(
+        re.escape(readme_bench.BEGIN) + r".*?" + re.escape(readme_bench.END),
+        text,
+        re.DOTALL,
+    )
+    assert block and str(headline) in block.group(0)
+
+
+def test_cli_check_mode_detects_staleness(tmp_path):
+    """--check exits 1 when the table does not match the artifacts."""
+    # copy the repo docs into a sandbox and corrupt the table
+    import shutil
+
+    os.makedirs(tmp_path / "tools")
+    shutil.copy(
+        os.path.join(REPO, "tools", "readme_bench.py"), tmp_path / "tools"
+    )
+    for p in sorted(os.listdir(REPO)):
+        if re.fullmatch(r"BENCH_r\d+\.json", p):
+            shutil.copy(os.path.join(REPO, p), tmp_path / p)
+    with open(os.path.join(REPO, "README.md")) as f:
+        text = f.read()
+    corrupt = re.sub(
+        re.escape(readme_bench.BEGIN) + r".*?" + re.escape(readme_bench.END),
+        readme_bench.BEGIN + "\ncorrupt\n" + readme_bench.END,
+        text,
+        flags=re.DOTALL,
+    )
+    with open(tmp_path / "README.md", "w") as f:
+        f.write(corrupt)
+    proc = subprocess.run(
+        [sys.executable, str(tmp_path / "tools" / "readme_bench.py"), "--check"],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 1, proc.stdout + proc.stderr
