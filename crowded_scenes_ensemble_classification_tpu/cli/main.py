@@ -329,7 +329,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fetch the with-classification-top variant")
     p.add_argument("--num-classes", type=int, default=None)
     p.add_argument("--cache-dir", default=None)
-    p.add_argument("--out", required=True, help="output .msgpack variables file")
+    p.add_argument("--out", default=None, help="output .msgpack variables file")
+    p.add_argument(
+        "--drill", default=None, metavar="SPEC_JSON",
+        help="checkpoint readiness drill: fetch → checksum → convert → "
+             "golden parity → probs cache for every family in the spec "
+             "(see checkpoint_urls.json; models/checkpoint_drill.py)",
+    )
+    p.add_argument("--work-dir", default="drill_work",
+                   help="--drill output directory")
 
     sub.add_parser("bench", help="run the clips/sec benchmark")
     return parser
@@ -805,6 +813,25 @@ def main(argv=None) -> int:
     if args.command == "convert":
         from ..models.weights_registry import convert_keras_checkpoint, fetch_weights
 
+        if args.drill:
+            from ..models.checkpoint_drill import run_drill
+
+            report = run_drill(
+                args.drill, args.work_dir, cache_dir=args.cache_dir
+            )
+            failed = False
+            for mt, entry in report["families"].items():
+                status = entry.get("status", "?")
+                failed |= status == "failed"
+                parity = entry.get("steps", {}).get("parity", {})
+                delta = parity.get("max_softmax_delta")
+                extra = f" parity_delta={delta:.2e}" if delta is not None else ""
+                print(f"drill {mt}: {status}{extra}")
+            print(report["report_path"])
+            return 1 if failed else 0
+        if args.out is None:
+            print("convert needs --out (or --drill SPEC_JSON)", file=sys.stderr)
+            return 2
         rgb_h5, flow_h5 = args.rgb_h5, args.flow_h5
         if args.fetch_rgb:
             rgb_h5 = fetch_weights(
