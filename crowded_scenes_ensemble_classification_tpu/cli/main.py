@@ -156,6 +156,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference's per-epoch decode+feed, "
                         "train.py:257-269); needs the dataset to fit in "
                         "device memory")
+    p.add_argument("--recover", action="store_true",
+                   help="train only members with no complete "
+                        "(checkpoint, history) artifact pair — the "
+                        "idempotent relaunch after a crashed/killed "
+                        "process (orchestration.pending_members)")
 
     p = sub.add_parser("train", help="train one (test, val) ensemble member")
     _add_config_flags(p)
@@ -383,6 +388,7 @@ def main(argv=None) -> int:
             config, table, args.work_dir, runner=args.runner,
             rgb_h5=args.rgb_h5, flow_h5=args.flow_h5,
             resident=args.resident, mesh=_mesh_from_args(args),
+            recover=args.recover,
         )
         if args.runner == "commands":
             print("\n".join(out))

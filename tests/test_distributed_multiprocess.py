@@ -169,3 +169,105 @@ def test_two_process_ensemble_fanout(tmp_path):
     res = evaluate_ensembles(provider, 3, "SUM", name=config.subfolder_name())
     assert np.isfinite(res.mean_accuracy)
     assert all(f.predictions.shape[0] > 0 for f in res.folds)
+
+
+RECOVERY_WORKER = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "_recovery_worker.py"
+)
+
+
+@pytest.mark.slow
+def test_kill_and_recover_completes_union(tmp_path):
+    """VERDICT r3 weak-6/next-8: one of two fan-out processes is KILLED
+    mid-ensemble; `launch_ensemble_training(recover=True)` detects exactly
+    the members with no complete (checkpoint, history) artifact pair,
+    retrains only those, and never retrains a completed member."""
+    import time
+
+    import optax
+
+    from crowded_scenes_ensemble_classification_tpu.core.config import (
+        ClipSpec,
+        ExperimentConfig,
+        split_pairs,
+    )
+    from crowded_scenes_ensemble_classification_tpu.data import (
+        generate_synthetic_dataset,
+    )
+    from crowded_scenes_ensemble_classification_tpu.models import C3D
+    from crowded_scenes_ensemble_classification_tpu.models.registry import ModelBundle
+    from crowded_scenes_ensemble_classification_tpu.orchestration import (
+        launch_ensemble_training,
+        member_is_complete,
+        pending_members,
+        prepare_ensemble,
+    )
+
+    work = str(tmp_path / "work")
+    df = generate_synthetic_dataset(
+        str(tmp_path / "data"), num_scenes=9, clips_per_scene=3, num_classes=3,
+        num_frames=16, hw=(40, 40), as_videos=False,
+    )
+    config = ExperimentConfig(
+        model_type="C3D", training_condition="_SCRATCH", folds_number=3,
+        num_classes=3, batch_size=6, epochs=1,
+    )
+    layout = prepare_ensemble(config, df, work)
+    bundle = ModelBundle(
+        model_type="C3D", module=C3D(num_classes=3, width=0.125),
+        clip=ClipSpec(frames=16, height=32, width=32), num_classes=3,
+        two_stream=False,
+    )
+
+    pairs = split_pairs(3)
+    members_a, members_b = pairs[:3], pairs[3:]
+    sentinels = tmp_path / "sentinels"
+    os.makedirs(sentinels)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+
+    def spawn(members):
+        return subprocess.Popen(
+            [sys.executable, RECOVERY_WORKER, work, json.dumps(members),
+             str(sentinels)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+
+    proc_a, proc_b = spawn(members_a), spawn(members_b)
+    # REAL kill: as soon as B completes its first member, kill it — the
+    # signal lands while it trains its second (possibly mid-checkpoint).
+    t0, tb, vb = time.time(), *members_b[0]
+    first = os.path.join(sentinels, f"done_{tb}_{vb}")
+    while not os.path.exists(first):
+        assert time.time() - t0 < 600, "worker B never finished a member"
+        assert proc_b.poll() is None, proc_b.communicate()[1]
+        time.sleep(0.2)
+    proc_b.kill()
+    proc_b.wait(timeout=60)
+    out, err = proc_a.communicate(timeout=900)
+    assert proc_a.returncode == 0, f"worker A failed:\nstdout={out}\nstderr={err}"
+
+    # detection: pending == the members B never completed, nothing of A's
+    pend = pending_members(config, layout)
+    assert pend, "kill landed after B finished everything — nothing pending"
+    assert set(pend) <= set(members_b[1:])
+    done_before = [p for p in pairs if p not in pend]
+    mtimes = {p: os.path.getmtime(layout.history_path(config, *p)) for p in done_before}
+
+    # recovery: retrains EXACTLY the pending members
+    res = launch_ensemble_training(
+        config, None, work, recover=True, bundle=bundle,
+        input_scale=1 / 255.0, staging_hw=(40, 40), num_workers=2,
+        optimizer=optax.inject_hyperparams(optax.adam)(learning_rate=2e-3),
+    )
+    assert set(res) == set(pend)
+    for t, v in pairs:
+        assert member_is_complete(config, layout, t, v), (t, v)
+    # completed members were NOT retrained (artifacts untouched)
+    for p, m in mtimes.items():
+        assert os.path.getmtime(layout.history_path(config, *p)) == m, p
+    # recover is idempotent: a second pass finds nothing to do
+    assert launch_ensemble_training(
+        config, None, work, recover=True, bundle=bundle,
+    ) == {}
