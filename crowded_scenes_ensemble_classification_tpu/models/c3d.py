@@ -45,8 +45,11 @@ class C3D(nn.Module):
             raise ValueError("quant=True C3D is inference-only")
         w = lambda f: max(int(f * self.width), 8)
         if self.quant:
+            from .common import quant_mode
+
             conv = lambda feats, name: QuantConv(
-                feats, kernel_size=(3, 3, 3), padding="SAME", name=name
+                feats, kernel_size=(3, 3, 3), padding="SAME",
+                mode=quant_mode(self.quant), name=name,
             )
         else:
             conv = lambda feats, name: nn.Conv(

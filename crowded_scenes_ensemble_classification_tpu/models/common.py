@@ -62,8 +62,9 @@ class ConvBN(nn.Module):
     use_relu: bool = True
     bn_scale: bool = False
     dtype: jnp.dtype = jnp.float32
-    # quant=True runs the conv contraction in int8 on the MXU (inference
-    # only — see quant_conv_general).  Same parameter tree either way.
+    # quant runs the conv contraction in int8 on the MXU (inference only).
+    # False | True ('dynamic') | 'calib' | 'static' — see QuantConv.mode.
+    # Same 'params' tree in every mode.
     quant: bool = False
 
     @nn.compact
@@ -77,6 +78,7 @@ class ConvBN(nn.Module):
                 strides=self.strides,
                 padding=self.padding,
                 use_bias=self.use_bias,
+                mode=quant_mode(self.quant),
                 name="conv",
             )(x)
         else:
@@ -160,18 +162,77 @@ def quant_conv_general(
     return y.astype(jnp.float32) * (sx * sw)
 
 
+def quant_mode(quant) -> str:
+    """Normalize the zoo-wide `quant` attribute (False | True | str) to a
+    QuantConv mode string: True means 'dynamic' (round-3 semantics)."""
+    return quant if isinstance(quant, str) else "dynamic"
+
+
+def weight_qparams(kernel: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-output-channel symmetric int8 quantization of a conv kernel:
+    returns (k8 int8, sw f32 (F,)) with kernel ≈ k8 · sw."""
+    kf = kernel.astype(jnp.float32)
+    sw = jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1)))
+    sw = jnp.maximum(sw, 1e-30) / 127.0
+    return jnp.round(kf / sw).astype(jnp.int8), sw
+
+
+def static_quant_conv_general(
+    x: jax.Array,
+    k8: jax.Array,
+    sw: jax.Array,
+    act_scale: jax.Array,
+    strides,
+    padding,
+    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+) -> jax.Array:
+    """int8 conv with a STATIC (calibrated) per-tensor activation scale and
+    pre-quantized weights — the VERDICT r3 #2 path.
+
+    vs the dynamic scheme (quant_conv_general) this removes, per layer:
+    the abs-max reduction over the activation (a full HBM read) and the
+    in-graph weight round/cast (k8/sw are materialized once at load by
+    `quantize_variables`).  The remaining quantize (round/clip/cast) and
+    the dequant multiply are elementwise producers/epilogues XLA fuses
+    into the surrounding ops.  Out-of-calibration activations clip to
+    ±127 (saturating, the standard static-quant semantics)."""
+    inv = 1.0 / jnp.maximum(act_scale, 1e-30)
+    x8 = jnp.round(
+        jnp.clip(x.astype(jnp.float32) * inv, -127.0, 127.0)
+    ).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        x8,
+        k8,
+        window_strides=strides,
+        padding=padding,
+        dimension_numbers=dimension_numbers,
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * (act_scale * sw)
+
+
 class QuantConv(nn.Module):
     """Drop-in int8 inference replacement for `nn.Conv` (channels-last,
     no feature groups).  Parameter tree is identical to nn.Conv —
     'kernel' (kt, kh, kw, Cin, F) f32 (+ optional 'bias') — so converted
-    reference checkpoints load unchanged; only the contraction runs int8
-    (see quant_conv_general)."""
+    reference checkpoints load unchanged; only the contraction runs int8.
+
+    mode:
+      'dynamic' — per-call activation abs-max scale (quant_conv_general).
+      'calib'   — EXACT f32 conv + record the running activation abs-max
+                  into the mutable 'qstats' collection (run a few batches
+                  with apply(..., mutable=['qstats'])).
+      'static'  — calibrated scale from 'qstats' + pre-quantized weights
+                  from 'qparams' when present (models.quantize
+                  .quantize_variables), else weights quantize in-graph.
+    """
 
     features: int
     kernel_size: Tuple[int, int, int]
     strides: Tuple[int, int, int] = (1, 1, 1)
     padding: str = "SAME"
     use_bias: bool = True
+    mode: str = "dynamic"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -182,7 +243,37 @@ class QuantConv(nn.Module):
             (*self.kernel_size, c, self.features),
             jnp.float32,
         )
-        y = quant_conv_general(x, kernel, self.strides, self.padding)
+        if self.mode == "dynamic":
+            y = quant_conv_general(x, kernel, self.strides, self.padding)
+        elif self.mode == "calib":
+            stat = self.variable(
+                "qstats", "act_absmax", lambda: jnp.zeros((), jnp.float32)
+            )
+            if not self.is_initializing():
+                stat.value = jnp.maximum(
+                    stat.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                )
+            y = jax.lax.conv_general_dilated(
+                x.astype(jnp.float32),
+                kernel,
+                window_strides=self.strides,
+                padding=self.padding,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+        elif self.mode == "static":
+            stat = self.variable(
+                "qstats", "act_absmax", lambda: jnp.zeros((), jnp.float32)
+            )
+            if self.has_variable("qparams", "k8"):
+                k8 = self.variable("qparams", "k8", lambda: None).value
+                sw = self.variable("qparams", "sw", lambda: None).value
+            else:
+                k8, sw = weight_qparams(kernel)
+            y = static_quant_conv_general(
+                x, k8, sw, stat.value / 127.0, self.strides, self.padding
+            )
+        else:
+            raise ValueError(f"unknown quant mode {self.mode!r}")
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
@@ -429,14 +520,41 @@ class PrestagedS2DStemConvBN(nn.Module):
         if self.quant:
             if train:
                 raise ValueError("quant=True stem is inference-only")
+            mode = quant_mode(self.quant)
             # the s2d kernel rearrangement keeps F as the last axis, so the
-            # per-output-channel scales are unchanged by the rewrite
-            x = quant_conv_general(
-                xs,
-                s2d_stem_kernel(kernel),
-                (2, 1, 1),
-                [(2, 3), (0, 0), (0, 0)],
-            )
+            # per-output-channel scales are unchanged by the rewrite.  The
+            # transformed kernel quantizes in-graph even in static mode
+            # (it is derived, so quantize_variables never pre-bakes it —
+            # a 7·4·4·4C·64 tensor, negligible next to the activations).
+            if mode == "dynamic":
+                x = quant_conv_general(
+                    xs,
+                    s2d_stem_kernel(kernel),
+                    (2, 1, 1),
+                    [(2, 3), (0, 0), (0, 0)],
+                )
+            else:
+                stat = self.variable(
+                    "qstats", "act_absmax", lambda: jnp.zeros((), jnp.float32)
+                )
+                if mode == "calib":
+                    if not self.is_initializing():
+                        stat.value = jnp.maximum(
+                            stat.value, jnp.max(jnp.abs(xs.astype(jnp.float32)))
+                        )
+                    x = s2d_stem_conv_prestaged(
+                        xs.astype(jnp.float32), kernel
+                    )
+                else:  # static
+                    k8, sw = weight_qparams(s2d_stem_kernel(kernel))
+                    x = static_quant_conv_general(
+                        xs,
+                        k8,
+                        sw,
+                        stat.value / 127.0,
+                        (2, 1, 1),
+                        [(2, 3), (0, 0), (0, 0)],
+                    )
         else:
             x = s2d_stem_conv_prestaged(
                 xs.astype(self.dtype), kernel.astype(self.dtype)

@@ -1,0 +1,100 @@
+"""Static int8 calibration for the model zoo (VERDICT r3 #2).
+
+Round 3 measured the DYNAMIC whole-model int8 path losing to bf16
+(128.4 vs 214.0 clips/s at B=48): the per-layer activation abs-max
+reduction, round/cast pass, and f32 dequant write are three extra HBM
+passes per activation tensor.  The static path removes the reduction and
+the weight requant entirely:
+
+1. build the model with quant='calib' and run a few representative
+   batches through `calibrate` — each QuantConv records its running
+   activation abs-max into the 'qstats' collection while computing the
+   EXACT f32 forward;
+2. `quantize_variables` pre-bakes every QuantConv kernel to int8 once
+   (per-output-channel symmetric scales) into the 'qparams' collection;
+3. build the model with quant='static' and apply with the augmented
+   variables — each conv consumes the calibrated scale (out-of-range
+   activations saturate at ±127, the standard static-quant semantics)
+   and the pre-baked int8 weights
+   (models.common.static_quant_conv_general).
+
+The 'params' tree is untouched in every mode, so the same converted
+reference checkpoints (reference conv3d_bn train.py:615-670 and the
+C3D/R3D convs, train.py:1224-1559) load across f32/bf16/dynamic/static.
+Accuracy is gated in tests/test_quant.py (static-vs-f32 softmax drift +
+top-1 agreement on a realistic reference-layout checkpoint).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable
+
+import jax.numpy as jnp
+
+from .common import weight_qparams
+
+
+def calibrate(module, variables: Dict, batches: Iterable, **apply_kwargs) -> Dict:
+    """Run `batches` through a quant='calib' module, returning `variables`
+    augmented with the 'qstats' collection (running per-layer activation
+    abs-max over all batches).
+
+    `variables` may come straight from a bf16/f32 checkpoint (no qstats) —
+    the first apply creates the collection.  For TwoStream modules pass
+    each batch as a (rgb, flow) tuple; extra apply kwargs (e.g. train=False)
+    forward to module.apply."""
+    vs = dict(variables)
+    for batch in batches:
+        args = batch if isinstance(batch, tuple) else (batch,)
+        _, mutated = module.apply(vs, *args, mutable=["qstats"], **apply_kwargs)
+        vs = {**vs, **mutated}
+    if "qstats" not in vs:
+        raise ValueError(
+            "calibrate ran zero batches or the module has no QuantConv "
+            "(was it built with quant='calib'?)"
+        )
+    return vs
+
+
+def quantize_variables(variables: Dict) -> Dict:
+    """Pre-bake int8 weights for every calibrated QuantConv: adds the
+    'qparams' collection (k8 int8 + per-output-channel scales sw) beside
+    the untouched 'params'/'qstats'.  Modules whose quantized kernel is
+    DERIVED in-graph (the prestaged s2d stem) have qstats but no direct
+    'kernel' sibling — they keep quantizing their transformed kernel
+    in-graph and get no qparams entry."""
+    if "qstats" not in variables:
+        raise ValueError("quantize_variables needs calibrated 'qstats' "
+                         "(run models.quantize.calibrate first)")
+
+    def _rec(params: Any, stats: Any) -> Dict:
+        if isinstance(stats, dict) and "act_absmax" in stats:
+            if isinstance(params, dict) and "kernel" in params:
+                k8, sw = weight_qparams(jnp.asarray(params["kernel"]))
+                return {"k8": k8, "sw": sw}
+            return {}
+        return {
+            k: _rec(params[k] if isinstance(params, dict) else {}, v)
+            for k, v in stats.items()
+            if isinstance(v, dict)
+        }
+
+    qparams = _rec(variables.get("params", {}), variables["qstats"])
+    return {**variables, "qparams": qparams}
+
+
+def calibration_summary(variables: Dict) -> Dict[str, float]:
+    """Flat {module/path: act_absmax} view of the calibrated scales —
+    diagnostic for spotting saturated/dead layers before deployment."""
+    out: Dict[str, float] = {}
+
+    def _rec(node: Any, path: str) -> None:
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "act_absmax":
+                    out[path] = float(v)
+                else:
+                    _rec(v, f"{path}/{k}" if path else k)
+
+    _rec(variables.get("qstats", {}), "")
+    return out

@@ -38,9 +38,12 @@ R3D_PRESETS = {
 
 def _conv(feats, kernel, strides=(1, 1, 1), padding="SAME", dtype=jnp.float32, name=None, quant=False):
     if quant:
+        from .common import quant_mode
+
         # int8 contraction (inference only); same 'kernel'+'bias' params
         return QuantConv(
-            feats, kernel_size=kernel, strides=strides, padding=padding, name=name
+            feats, kernel_size=kernel, strides=strides, padding=padding,
+            mode=quant_mode(quant), name=name,
         )
     return nn.Conv(
         feats,

@@ -169,7 +169,136 @@ def test_quant_prestaged_stem_matches_plain_quant_stem(rng):
 
 
 # ----------------------------------------------------------------------
-# 4. inference-only guard
+# 4. static calibrated int8 (VERDICT r3 #2)
+# ----------------------------------------------------------------------
+
+
+def test_static_single_conv_matches_dynamic_on_calibration_batch(rng):
+    """For one conv, calibrating on the batch being classified makes the
+    static per-tensor scale EQUAL the dynamic one (both are max|x|/127
+    over the same tensor), so static and dynamic outputs must agree to
+    f32 rounding; pre-baked weights (quantize_variables) must agree
+    bitwise with in-graph weight quantization."""
+    from crowded_scenes_ensemble_classification_tpu.models.quantize import (
+        calibrate,
+        quantize_variables,
+    )
+
+    x = jnp.asarray(rng.uniform(-3, 3, (2, 4, 8, 8, 3)).astype(np.float32))
+    dyn = ConvBN(6, (3, 3, 3), quant=True)
+    calib = ConvBN(6, (3, 3, 3), quant="calib")
+    static = ConvBN(6, (3, 3, 3), quant="static")
+    variables = dyn.init(jax.random.key(0), x, train=False)
+
+    calibrated = calibrate(calib, variables, [x], train=False)
+    got_dyn = np.asarray(dyn.apply(variables, x, train=False))
+    got_static = np.asarray(static.apply(calibrated, x, train=False))
+    np.testing.assert_allclose(got_static, got_dyn, rtol=1e-5, atol=1e-6)
+
+    baked = quantize_variables(calibrated)
+    assert baked["qparams"]["conv"]["k8"].dtype == jnp.int8
+    got_baked = np.asarray(static.apply(baked, x, train=False))
+    np.testing.assert_array_equal(got_baked, got_static)
+
+
+def test_static_saturates_out_of_calibration_range(rng):
+    """Activations beyond the calibrated abs-max clip to ±127 (standard
+    static-quant semantics) instead of overflowing the int8 operand."""
+    from crowded_scenes_ensemble_classification_tpu.models.quantize import calibrate
+
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 4, 8, 8, 3)).astype(np.float32))
+    calib = ConvBN(4, (1, 1, 1), quant="calib", use_bn=False, use_relu=False)
+    static = ConvBN(4, (1, 1, 1), quant="static", use_bn=False, use_relu=False)
+    variables = calibrate(calib, calib.init(jax.random.key(1), x, train=False), [x])
+    big = static.apply(variables, 10.0 * x, train=False)
+    small = static.apply(variables, x, train=False)
+    assert np.all(np.isfinite(np.asarray(big)))
+    # saturated: scaling the input 10x moves the output by at most ~10x
+    # of the unsaturated response (no int8 wraparound sign flips)
+    assert np.abs(np.asarray(big)).max() <= 10.5 * np.abs(np.asarray(small)).max()
+
+
+@pytest.mark.slow
+def test_static_quant_i3d_close_to_f32_on_reference_checkpoint(tmp_path):
+    """Model-level: calibrate → quantize_variables → static forward stays
+    within the same drift gates as the dynamic path on a realistic
+    reference-layout I3D checkpoint, with top-1 unchanged."""
+    from oracle_i3d import random_i3d_h5_layers
+
+    from crowded_scenes_ensemble_classification_tpu.models import weights_io as wio
+    from crowded_scenes_ensemble_classification_tpu.models.pretrained import (
+        load_pretrained_variables,
+    )
+    from crowded_scenes_ensemble_classification_tpu.models.quantize import (
+        calibrate,
+        calibration_summary,
+        quantize_variables,
+    )
+
+    layers = random_i3d_h5_layers(seed=3, num_classes=11)
+    h5_path = wio.write_keras_h5(str(tmp_path / "i3d_rgb_synth.h5"), layers)
+    rng2 = np.random.default_rng(11)
+    x = rng2.uniform(0, 255, (2, 16, 32, 32, 3)).astype(np.float32)
+
+    bundle = build_model("I3D", num_classes=11)
+    fresh = bundle.module.init(jax.random.key(0), jnp.zeros_like(jnp.asarray(x)))
+    variables = load_pretrained_variables("I3D", fresh, 11, rgb_h5=h5_path)
+
+    cmodule = build_model("I3D", num_classes=11, quant="calib").module
+    smodule = build_model("I3D", num_classes=11, quant="static").module
+    calibrated = calibrate(cmodule, variables, [jnp.asarray(x)], train=False)
+    summary = calibration_summary(calibrated)
+    assert len(summary) > 50 and all(v > 0 for v in summary.values())
+    baked = quantize_variables(calibrated)
+
+    p32 = jax.nn.softmax(bundle.module.apply(variables, jnp.asarray(x), train=False))
+    p8 = jax.nn.softmax(smodule.apply(baked, jnp.asarray(x), train=False))
+    p32, p8 = np.asarray(p32), np.asarray(p8)
+    assert (p32.argmax(-1) == p8.argmax(-1)).all(), "top-1 changed under static int8"
+    assert np.abs(p32 - p8).max() < 0.05, f"softmax drift {np.abs(p32 - p8).max()}"
+
+    # held-out batch (different statistics): still finite and top-1 stable
+    # vs the f32 forward on the same batch
+    x2 = jnp.asarray(rng2.uniform(0, 255, (2, 16, 32, 32, 3)).astype(np.float32))
+    q2 = np.asarray(jax.nn.softmax(smodule.apply(baked, x2, train=False)))
+    f2 = np.asarray(jax.nn.softmax(bundle.module.apply(variables, x2, train=False)))
+    assert np.all(np.isfinite(q2))
+    assert (q2.argmax(-1) == f2.argmax(-1)).all()
+
+
+def test_static_quant_prestaged_stem_close(rng):
+    """quant='static' composes with stem_prestaged=True (the bench's
+    amortized-staging form): the stem quantizes its DERIVED s2d kernel
+    in-graph against its calibrated scale.  Zero padding cannot change
+    max|x|, so both forms see the same activation scale; outputs agree
+    to the int8 rounding of the (slightly different) conv forms."""
+    from crowded_scenes_ensemble_classification_tpu.models.common import (
+        s2d_stem_stage,
+    )
+    from crowded_scenes_ensemble_classification_tpu.models.quantize import calibrate
+
+    x = jnp.asarray(rng.uniform(0, 255, (1, 16, 32, 32, 3)).astype(np.float32))
+    cal_bundle = build_model("I3D", num_classes=5, quant="calib")
+    variables = cal_bundle.module.init(jax.random.key(4), x, train=False)
+    cal_prestaged = cal_bundle.module.clone(stem_prestaged=True)
+    # calibrate BOTH forms so each stem variant has its scale recorded
+    calibrated = calibrate(cal_bundle.module, variables, [x], train=False)
+    calibrated = calibrate(
+        cal_prestaged, calibrated, [s2d_stem_stage(x)], train=False
+    )
+
+    s_bundle = build_model("I3D", num_classes=5, quant="static")
+    plain = s_bundle.module.apply(calibrated, x, train=False)
+    staged = s_bundle.module.clone(stem_prestaged=True).apply(
+        calibrated, s2d_stem_stage(x), train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain), np.asarray(staged), rtol=1e-4, atol=1e-4
+    )
+
+
+# ----------------------------------------------------------------------
+# 5. inference-only guard
 # ----------------------------------------------------------------------
 
 
