@@ -253,10 +253,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "model window)")
     p.add_argument("--recompute", action="store_true",
                    help="recompute even if the probability cache exists")
-    p.add_argument("--quant", action="store_true",
+    p.add_argument("--quant", nargs="?", const="dynamic", default=None,
+                   choices=["dynamic", "static"],
                    help="int8 member inference (TPU MXU int8 path — same "
                         "checkpoints, accuracy-gated in tests/test_quant.py); "
-                        "caches at a separate `…_int8` npz path")
+                        "'static' calibrates per-layer activation scales on "
+                        "the first batches and pre-bakes int8 weights (the "
+                        "fast path); caches at separate `…_int8`/"
+                        "`…_int8static` npz paths")
 
     p = sub.add_parser("ensemble", help="ensemble evaluation")
     _add_config_flags(p)
@@ -272,9 +276,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "computed on miss)")
     p.add_argument("--window-stride", type=int, default=None)
     p.add_argument("--long-frames", type=int, default=None)
-    p.add_argument("--quant", action="store_true",
-                   help="consume (computing on miss) the `…_int8` "
-                        "quantized probability caches — see `probs --quant`")
+    p.add_argument("--quant", nargs="?", const="dynamic", default=None,
+                   choices=["dynamic", "static"],
+                   help="consume (computing on miss) the quantized "
+                        "probability caches — see `probs --quant`")
     p.add_argument(
         "--models", "-ml", nargs="*", default=None,
         help="model specs for global/combine ops, e.g. C3D_SCRATCH "
@@ -620,7 +625,7 @@ def main(argv=None) -> int:
                 long_frames=args.long_frames,
             )
         if args.quant:
-            provider_kwargs["quant"] = True
+            provider_kwargs["quant"] = args.quant
         provider = make_prob_provider(config, layout, **provider_kwargs)
         if args.operation == "evaluate":
             res = evaluate_ensembles(

@@ -37,6 +37,115 @@ def shard_stacked(stacked: Dict, mesh: Mesh, member_axis: str = "member") -> Dic
     return jax.device_put(stacked, sharding)
 
 
+def prepare_member_inputs(
+    batch: Dict,
+    out_hw: Tuple[int, int],
+    two_stream: bool,
+    input_scale: float = 1.0,
+    flow_fast_warp: bool = False,
+    flow_params: Optional[dict] = None,
+) -> Dict:
+    """The member-forward input preprocessing — resize to the model hw,
+    input_scale (mirroring train.engine._preprocess: rgb and precomputed
+    TVL1 flow are 0-255 imagery and scale; on-device Farnebäck flow is
+    displacement and does NOT), and on-device Farnebäck from staged gray
+    pairs when the batch carries no precomputed flow.  Shared by
+    inference (make_member_forward) and int8 calibration
+    (calibrate_members) so calibrated scales see EXACTLY the inference
+    activations."""
+    inputs = {
+        "rgb": identity_resize_batch(batch["rgb"].astype(jnp.float32), out_hw)
+        * input_scale
+    }
+    if two_stream:
+        if "flow" in batch:
+            inputs["flow"] = (
+                identity_resize_batch(batch["flow"].astype(jnp.float32), out_hw)
+                * input_scale
+            )
+        else:
+            # flat-batch form — nested vmap halves flow throughput
+            # (farneback.farneback_flow_batch)
+            from ..flow.farneback import FLOW_CHUNK_PAIRS, farneback_flow_batch
+
+            kw = dict(flow_params or {})
+            kw.setdefault("fast_warp", flow_fast_warp)
+            kw.setdefault("chunk_pairs", FLOW_CHUNK_PAIRS)
+            gray = batch["gray"].astype(jnp.float32)[..., 0]
+            gray_next = batch["gray_next"].astype(jnp.float32)[..., 0]
+            flows = farneback_flow_batch(gray, gray_next, **kw)
+            inputs["flow"] = identity_resize_batch(flows, out_hw)
+    return inputs
+
+
+def calibrate_members(
+    calib_bundle: ModelBundle,
+    variables_list: Sequence[Dict],
+    pipeline,
+    num_batches: int = 2,
+    input_scale: float = 1.0,
+    flow_fast_warp: bool = False,
+    flow_params: Optional[dict] = None,
+) -> List[Dict]:
+    """Static-int8 calibration for every member (VERDICT r3 #2): runs the
+    first `num_batches` of `pipeline` through a quant='calib' bundle with
+    the SAME preprocessing as member inference, recording per-layer
+    activation abs-max, then pre-bakes int8 weights
+    (models.quantize.quantize_variables).  Returns the per-member
+    variables ready for a quant='static' bundle.
+
+    I3D-family members calibrate through the PRESTAGED stem form —
+    member_probabilities always shares the s2d stem staging, and the
+    prestaged stem records its scale at its own scope."""
+    from ..data.pipeline import prefetch_batches
+    from ..models.common import s2d_stem_stage
+    from ..models.quantize import quantize_variables
+
+    out_hw = (calib_bundle.clip.height, calib_bundle.clip.width)
+    two_stream = calib_bundle.two_stream
+    share = calib_bundle.model_type in ("I3D", "TWOSTREAM_I3D")
+    module = (
+        calib_bundle.module.clone(stem_prestaged=True)
+        if share
+        else calib_bundle.module
+    )
+
+    def _args(batch):
+        inputs = prepare_member_inputs(
+            batch, out_hw, two_stream, input_scale, flow_fast_warp, flow_params
+        )
+        if share and two_stream:
+            return (s2d_stem_stage(inputs["rgb"]), s2d_stem_stage(inputs["flow"]))
+        if share:
+            return (s2d_stem_stage(inputs["rgb"]),)
+        if two_stream:
+            return (inputs["rgb"], inputs["flow"])
+        return (inputs["rgb"],)
+
+    @jax.jit
+    def _calib_step(vs, *args):
+        # jitted: an eager apply would be thousands of per-op dispatches
+        # through the TPU relay
+        _, mut = module.apply(vs, *args, train=False, mutable=["qstats"])
+        return mut
+
+    batches = []
+    for batch in prefetch_batches(pipeline, epoch=0):
+        batches.append(batch)
+        if len(batches) >= num_batches:
+            break
+    if not batches:
+        raise ValueError("calibrate_members: empty pipeline")
+
+    out = []
+    for v in variables_list:
+        vs = dict(v)
+        for batch in batches:
+            vs = {**vs, **_calib_step(vs, *_args(batch))}
+        out.append(quantize_variables(vs))
+    return out
+
+
 def make_member_forward(
     bundle: ModelBundle,
     out_hw: Tuple[int, int],
@@ -72,33 +181,9 @@ def make_member_forward(
         prestaged_module = bundle.module.clone(stem_prestaged=True)
 
     def forward(stacked_vars, batch):
-        inputs = {
-            "rgb": identity_resize_batch(batch["rgb"].astype(jnp.float32), out_hw)
-            * input_scale
-        }
-        if two_stream:
-            if "flow" in batch:
-                inputs["flow"] = (
-                    identity_resize_batch(batch["flow"].astype(jnp.float32), out_hw)
-                    * input_scale
-                )
-            else:
-                # on-device Farneback from staged gray pairs (see
-                # train.engine._preprocess for the convention); flat-batch
-                # form — nested vmap halves flow throughput (farneback.
-                # farneback_flow_batch)
-                from ..flow.farneback import (
-                    FLOW_CHUNK_PAIRS,
-                    farneback_flow_batch,
-                )
-
-                kw = dict(flow_params or {})
-                kw.setdefault("fast_warp", flow_fast_warp)
-                kw.setdefault("chunk_pairs", FLOW_CHUNK_PAIRS)
-                gray = batch["gray"].astype(jnp.float32)[..., 0]
-                gray_next = batch["gray_next"].astype(jnp.float32)[..., 0]
-                flows = farneback_flow_batch(gray, gray_next, **kw)
-                inputs["flow"] = identity_resize_batch(flows, out_hw)
+        inputs = prepare_member_inputs(
+            batch, out_hw, two_stream, input_scale, flow_fast_warp, flow_params
+        )
 
         if prestaged_module is not None and two_stream:
             from ..models.common import s2d_stem_stage

@@ -282,6 +282,40 @@ class QuantConv(nn.Module):
         return y
 
 
+class ExternalConvBN(nn.Module):
+    """Parameter-compatible stand-in for ConvBN whose CONV runs fused
+    OUTSIDE the module (the inception fuse_1x1 rewrite): holds the
+    canonical `<name>/conv/kernel` parameter and applies the module's own
+    `<name>/bn` + ReLU to a conv output computed by the caller.  Param
+    tree (conv/kernel + bn/*) is identical to ConvBN's, so checkpoints
+    are interchangeable between fused and unfused graphs."""
+
+    features: int
+    kernel: Tuple[int, int, int]
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self._kernel = _ConvKernel(
+            (*self.kernel, self.in_features, self.features), name="conv"
+        )
+        self._bn = nn.BatchNorm(
+            momentum=KERAS_BN_MOMENTUM,
+            epsilon=KERAS_BN_EPS,
+            use_scale=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )
+
+    def kernel_value(self) -> jax.Array:
+        return self._kernel()
+
+    def __call__(self, conv_out: jax.Array, train: bool = False) -> jax.Array:
+        y = self._bn(conv_out, use_running_average=not train)
+        return nn.relu(y)
+
+
 class BNRelu(nn.Module):
     """BatchNorm (full affine) + ReLU — the R3D pre-activation helper
     (reference `_bn_relu` train.py:1278-1281)."""

@@ -62,23 +62,56 @@ class InceptionBlock(nn.Module):
     """One Mixed_* block: 4 parallel branches concatenated on channels.
 
     pool_impl='pallas' routes the 3³/1 SAME maxpool branch through the
-    Pallas DMA kernel (ops.pallas.maxpool) — TPU only."""
+    Pallas DMA kernel (ops.pallas.maxpool) — TPU only.
+
+    fuse_1x1=True runs the three 1×1×1 convs that read the block input
+    (b0_1x1, b1_1x1, b2_1x1) as ONE conv whose kernel is their in-graph
+    concatenation on the output-feature axis — exact same math and zero
+    extra FLOPs, but one MXU contraction instead of three narrow ones and
+    one HBM read of the block input instead of three.  Parameter tree is
+    unchanged (models.common.ExternalConvBN keeps the canonical
+    `<branch>/conv/kernel` + `<branch>/bn` paths), so checkpoints are
+    interchangeable between fused and unfused graphs.  Not combined with
+    quant (the quantized convs have per-branch calibration state); quant
+    takes precedence."""
 
     spec: Tuple[int, int, int, int, int, int]
     dtype: jnp.dtype = jnp.float32
     pool_impl: str = "auto"  # auto | xla | pallas
     quant: bool = False  # int8 conv contractions (inference only)
+    fuse_1x1: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from .common import ExternalConvBN
+
         b0_c, b1_r, b1_c, b2_r, b2_c, b3_c = self.spec
         cbn = lambda feats, kernel, name: ConvBN(
             feats, kernel, dtype=self.dtype, quant=self.quant, name=name
         )
-        branch_0 = cbn(b0_c, (1, 1, 1), "b0_1x1")(x, train)
-        branch_1 = cbn(b1_r, (1, 1, 1), "b1_1x1")(x, train)
+        if self.fuse_1x1 and not self.quant:
+            cin = int(x.shape[-1])
+            e0 = ExternalConvBN(b0_c, (1, 1, 1), cin, dtype=self.dtype, name="b0_1x1")
+            e1 = ExternalConvBN(b1_r, (1, 1, 1), cin, dtype=self.dtype, name="b1_1x1")
+            e2 = ExternalConvBN(b2_r, (1, 1, 1), cin, dtype=self.dtype, name="b2_1x1")
+            kcat = jnp.concatenate(
+                [e0.kernel_value(), e1.kernel_value(), e2.kernel_value()], -1
+            )
+            red = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kcat.astype(self.dtype),
+                (1, 1, 1),
+                "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+            branch_0 = e0(red[..., :b0_c], train)
+            branch_1 = e1(red[..., b0_c : b0_c + b1_r], train)
+            branch_2 = e2(red[..., b0_c + b1_r :], train)
+        else:
+            branch_0 = cbn(b0_c, (1, 1, 1), "b0_1x1")(x, train)
+            branch_1 = cbn(b1_r, (1, 1, 1), "b1_1x1")(x, train)
+            branch_2 = cbn(b2_r, (1, 1, 1), "b2_1x1")(x, train)
         branch_1 = cbn(b1_c, (3, 3, 3), "b1_3x3")(branch_1, train)
-        branch_2 = cbn(b2_r, (1, 1, 1), "b2_1x1")(x, train)
         branch_2 = cbn(b2_c, (3, 3, 3), "b2_3x3")(branch_2, train)
         use_pallas = self.pool_impl == "pallas" or (
             self.pool_impl == "auto"
@@ -127,6 +160,9 @@ class I3DTrunk(nn.Module):
     # per-tensor activation scales — inference only, identical parameter
     # tree (models.common.quant_conv_general).
     quant: bool = False
+    # fuse_1x1=True fuses each block's three input 1×1×1 convs into ONE
+    # conv (exact rewrite, same checkpoints — see InceptionBlock).
+    fuse_1x1: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -135,10 +171,17 @@ class I3DTrunk(nn.Module):
             # inference-only and the remat block ctor bypasses the partial
             raise ValueError("quant=True is incompatible with remat=True")
         base_cls = functools.partial(
-            InceptionBlock, pool_impl=self.pool_impl, quant=self.quant
+            InceptionBlock,
+            pool_impl=self.pool_impl,
+            quant=self.quant,
+            fuse_1x1=self.fuse_1x1,
         )
         block_cls = (
-            nn.remat(InceptionBlock, static_argnums=(2,))
+            functools.partial(
+                nn.remat(InceptionBlock, static_argnums=(2,)),
+                pool_impl=self.pool_impl,
+                fuse_1x1=self.fuse_1x1,
+            )
             if self.remat
             else base_cls
         )
@@ -190,6 +233,7 @@ class I3D(nn.Module):
     stem_impl: str = "auto"
     stem_prestaged: bool = False
     quant: bool = False  # int8 conv contractions (inference only)
+    fuse_1x1: bool = False  # fused block-input 1×1 convs (exact rewrite)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -201,6 +245,7 @@ class I3D(nn.Module):
             stem_impl=self.stem_impl,
             stem_prestaged=self.stem_prestaged,
             quant=self.quant,
+            fuse_1x1=self.fuse_1x1,
             name="trunk",
         )(x, train)
         x = i3d_feature_head(x)

@@ -35,6 +35,7 @@ class TwoStreamI3D(nn.Module):
     # stem staging over the whole ensemble (models.common.s2d_stem_stage).
     stem_prestaged: bool = False
     quant: bool = False  # int8 conv contractions in both trunks (inference only)
+    fuse_1x1: bool = False  # fused block-input 1×1 convs (exact rewrite)
 
     @nn.compact
     def __call__(
@@ -46,6 +47,7 @@ class TwoStreamI3D(nn.Module):
             dtype=self.dtype,
             stem_prestaged=self.stem_prestaged,
             quant=self.quant,
+            fuse_1x1=self.fuse_1x1,
         )
         x_rgb = trunk(name="rgb_trunk")(rgb, train)
         x_flow = trunk(name="flow_trunk")(flow, train)

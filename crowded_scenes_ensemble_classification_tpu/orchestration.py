@@ -612,11 +612,15 @@ def cache_probabilities(
     members trained with (train_member), so cached softmax can't be
     computed on differently-scaled inputs.
 
-    quant=True runs member inference with int8 conv contractions
-    (models.common.quant_conv_general; same checkpoints, accuracy-gated
-    in tests/test_quant.py).  Quantized softmax caches live at their own
-    `…_int8` npz path so a bf16/f32 cache is never silently returned for
-    a quantized request (or vice versa).  Ignored when an explicit
+    quant=True (or 'dynamic') runs member inference with int8 conv
+    contractions (models.common.quant_conv_general; same checkpoints,
+    accuracy-gated in tests/test_quant.py); quant='static' additionally
+    CALIBRATES each member on the first batches of the subset pipeline
+    (ensemble.members.calibrate_members) and pre-bakes int8 weights —
+    the fast int8 path (no per-layer abs-max reductions at inference).
+    Quantized softmax caches live at their own `…_int8`/`…_int8static`
+    npz paths so a bf16/f32 cache is never silently returned for a
+    quantized request (or vice versa).  Ignored when an explicit
     `bundle` is supplied."""
     if input_scale is None:
         input_scale = config.input_scale
@@ -631,7 +635,7 @@ def cache_probabilities(
         window_stride = window_stride or max(config.clip.frames // 2, 1)
         variant = f"_long{long_frames}s{window_stride}"
     if quant:
-        variant += "_int8"
+        variant += "_int8static" if quant == "static" else "_int8"
     path = probability_cache_path(
         layout.probs_dir, config.subfolder_name(), t, subset, variant=variant
     )
@@ -673,6 +677,15 @@ def cache_probabilities(
             input_scale=input_scale,
         )
     else:
+        if quant == "static":
+            from .ensemble.members import calibrate_members
+
+            calib_bundle = build_model(
+                config.model_type, config.num_classes, quant="calib"
+            )
+            variables = calibrate_members(
+                calib_bundle, variables, pipe, input_scale=input_scale
+            )
         probs = member_probabilities(
             bundle, variables, pipe, mesh=mesh, input_scale=input_scale
         )

@@ -236,3 +236,64 @@ def test_member_forward_share_stem_staging_twostream():
     )
     assert a.shape == (2, 2, 3)
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_inception_fuse_1x1_exact():
+    """fuse_1x1=True (the three block-input 1x1x1 convs run as ONE conv,
+    InceptionBlock docstring) is an EXACT rewrite: identical parameter
+    tree, matching eval outputs, and matching train-mode batch-stats
+    updates on the same variables."""
+    import jax.numpy as jnp
+
+    from crowded_scenes_ensemble_classification_tpu.models import build_model
+
+    rng = np.random.default_rng(17)
+    bundle = build_model("I3D", num_classes=5)
+    fused_mod = bundle.module.clone(fuse_1x1=True)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 16, 32, 32, 3)).astype(np.float32))
+    variables = bundle.module.init(jax.random.key(0), x, train=False)
+
+    # identical parameter trees
+    a = jax.eval_shape(lambda k: bundle.module.init(k, x, train=False), jax.random.key(0))
+    b = jax.eval_shape(lambda k: fused_mod.init(k, x, train=False), jax.random.key(0))
+    assert jax.tree_util.tree_structure(a) == jax.tree_util.tree_structure(b)
+    for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        assert la.shape == lb.shape and la.dtype == lb.dtype
+
+    # eval outputs match on the SAME variables (the rewrite is
+    # algebraically exact; f32 reduction-order differences accumulate to
+    # ~1e-3 on logits through 9 blocks — block-level exactness at 1e-6 is
+    # pinned separately below)
+    plain = np.asarray(bundle.module.apply(variables, x, train=False))
+    fused = np.asarray(fused_mod.apply(variables, x, train=False))
+    np.testing.assert_allclose(plain, fused, rtol=2e-3, atol=2e-3)
+
+    # train mode: outputs AND updated batch stats match
+    p_out, p_mut = bundle.module.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    f_out, f_mut = fused_mod.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(np.asarray(p_out), np.asarray(f_out), rtol=2e-3, atol=2e-3)
+    for lp, lf in zip(
+        jax.tree_util.tree_leaves(p_mut), jax.tree_util.tree_leaves(f_mut)
+    ):
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(lf), rtol=1e-3, atol=1e-4)
+
+    # single-block exactness (no depth accumulation): 1e-6 level
+    from crowded_scenes_ensemble_classification_tpu.models.i3d import (
+        INCEPTION_SPECS,
+        InceptionBlock,
+    )
+
+    spec = INCEPTION_SPECS["Mixed_3b"]
+    xb = jnp.asarray(rng.uniform(-1, 1, (1, 4, 8, 8, 192)).astype(np.float32))
+    blk = InceptionBlock(spec, pool_impl="xla")
+    vb = blk.init(jax.random.key(1), xb, train=False)
+    fb = InceptionBlock(spec, pool_impl="xla", fuse_1x1=True)
+    np.testing.assert_allclose(
+        np.asarray(blk.apply(vb, xb, train=False)),
+        np.asarray(fb.apply(vb, xb, train=False)),
+        rtol=1e-5, atol=1e-5,
+    )

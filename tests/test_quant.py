@@ -310,3 +310,58 @@ def test_quant_train_raises(rng):
         module.apply(
             variables, x, train=True, mutable=["batch_stats"]
         )
+
+
+@pytest.mark.slow
+def test_calibrate_members_static_probs_pipeline(tmp_path):
+    """ensemble.members.calibrate_members drives the production static
+    path: calibrate two members on the pipeline's first batches, bake,
+    and run member_probabilities with a quant='static' bundle — top-1
+    must agree with the f32 members on every clip."""
+    from crowded_scenes_ensemble_classification_tpu.core.config import ClipSpec
+    from crowded_scenes_ensemble_classification_tpu.data.pipeline import (
+        BatchPipeline,
+        SampleSpec,
+    )
+    from crowded_scenes_ensemble_classification_tpu.data.synthetic import (
+        generate_synthetic_dataset,
+    )
+    from crowded_scenes_ensemble_classification_tpu.ensemble.members import (
+        calibrate_members,
+        member_probabilities,
+    )
+    from crowded_scenes_ensemble_classification_tpu.models import C3D
+    from crowded_scenes_ensemble_classification_tpu.models.registry import ModelBundle
+
+    def bundle_for(quant):
+        return ModelBundle(
+            model_type="C3D",
+            module=C3D(num_classes=3, width=0.125, quant=quant),
+            clip=ClipSpec(frames=16, height=32, width=32),
+            num_classes=3,
+            two_stream=False,
+        )
+
+    plain = bundle_for(False)
+    members = [plain.init(jax.random.key(i)) for i in range(2)]
+    df = generate_synthetic_dataset(
+        str(tmp_path / "data"), num_scenes=4, clips_per_scene=2, num_classes=3,
+        num_frames=16, hw=(40, 40), as_videos=False,
+    ).rename(columns={"label": "class"})
+    spec = SampleSpec(num_frames=16, staging_hw=(40, 40), two_stream=False)
+
+    def pipe():
+        return BatchPipeline(df, spec, batch_size=4, shuffle=False, num_workers=2)
+
+    baked = calibrate_members(
+        bundle_for("calib"), members, pipe(), input_scale=1 / 255.0
+    )
+    for b in baked:
+        assert "qstats" in b and "qparams" in b
+    p32 = member_probabilities(plain, members, pipe(), input_scale=1 / 255.0)
+    p8 = member_probabilities(
+        bundle_for("static"), baked, pipe(), input_scale=1 / 255.0
+    )
+    assert p8.shape == p32.shape == (2, len(df), 3)
+    np.testing.assert_allclose(p8.sum(-1), 1.0, atol=1e-5)
+    assert (p8.argmax(-1) == p32.argmax(-1)).mean() > 0.95
