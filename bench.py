@@ -377,6 +377,201 @@ def _resident_breakout(results: dict, staging_reader):
     results["resident_upload_s"] = round(upload_s, 1)
 
 
+def _hetero_breakout(results: dict):
+    """BASELINE config #5: the global heterogeneous ensemble — 16 members
+    (C3D + I3D + TwoStream-I3D + R3D-18, 4 members each) classify the SAME
+    clips and SUM-fuse on device (reference global_evaluate_ensembles,
+    evaluate_ensemble.py:1329-1474, launched at :1455).  Device-pipeline
+    rate: all four family forwards (incl. on-device Farnebäck for the
+    TwoStream flow stream) + fusion in ONE executable.  Each family sees
+    its own clip geometry derived on device from one 224² source (C3D/R3D
+    subsample to 16×112² the way their pipelines stage clips)."""
+    import jax
+    import jax.numpy as jnp
+
+    from crowded_scenes_ensemble_classification_tpu.ensemble.members import (
+        stack_variables,
+    )
+    from crowded_scenes_ensemble_classification_tpu.flow.farneback import (
+        TURBO_PARAMS,
+        farneback_flow_batch,
+        rgb_to_gray,
+    )
+    from crowded_scenes_ensemble_classification_tpu.models import build_model
+    from crowded_scenes_ensemble_classification_tpu.models.common import (
+        s2d_stem_stage,
+    )
+
+    b = int(os.environ.get("BENCH_HETERO_BATCH", "16"))
+    m = NUM_MEMBERS
+
+    def family(mt):
+        bundle = build_model(mt, num_classes=11, dtype=jnp.bfloat16)
+        v = bundle.init(jax.random.key(sum(map(ord, mt))), batch_size=1)
+        # replicate one init across members — weight VALUES don't change
+        # the rate, and one init compile per family instead of four keeps
+        # the section inside the bench budget
+        return bundle, stack_variables([v] * m)
+
+    c3d_b, c3d_sv = family("C3D")
+    i3d_b, i3d_sv = family("I3D")
+    ts_b, ts_sv = family("TWOSTREAM_I3D")
+    r3d_b, r3d_sv = family("R3D_18")
+    i3d_pre = i3d_b.module.clone(stem_prestaged=True)
+    ts_pre = ts_b.module.clone(stem_prestaged=True)
+
+    @jax.jit
+    def hetero_step(c3d_v, i3d_v, ts_v, r3d_v, rgb224, carry):
+        x224 = rgb224.astype(jnp.bfloat16)
+        xs = s2d_stem_stage(x224)  # shared by I3D AND the TS rgb trunk
+        gray = rgb_to_gray(rgb224)
+        flows = farneback_flow_batch(
+            gray, jnp.roll(gray, -1, axis=1),
+            chunk_pairs=TWOSTREAM_FLOW_CHUNK * FRAMES, **TURBO_PARAMS,
+        )
+        xs_flow = s2d_stem_stage(flows.astype(jnp.bfloat16))
+        # C3D/R3D geometry: 16 frames, 112² decode-time resize ≈ 2×2
+        # subsample of the 224² staging (their pipelines stage at the
+        # model's own hw; content-equivalent for a rate measurement)
+        rgb112 = rgb224[:, :16, ::2, ::2, :].astype(jnp.bfloat16)
+
+        probs = jnp.concatenate(
+            [
+                jax.lax.map(
+                    lambda v: jax.nn.softmax(
+                        i3d_pre.apply(v, xs, train=False), -1
+                    ),
+                    i3d_v,
+                ),
+                jax.lax.map(
+                    lambda v: jax.nn.softmax(
+                        ts_pre.apply(v, xs, xs_flow, train=False), -1
+                    ),
+                    ts_v,
+                ),
+                jax.lax.map(
+                    lambda v: jax.nn.softmax(
+                        c3d_b.module.apply(v, rgb112, train=False), -1
+                    ),
+                    c3d_v,
+                ),
+                jax.lax.map(
+                    lambda v: jax.nn.softmax(
+                        r3d_b.module.apply(v, rgb112, train=False), -1
+                    ),
+                    r3d_v,
+                ),
+            ],
+            axis=0,
+        )  # (16, B, C)
+        fused = jnp.einsum("mbc->bc", probs)  # SUM over ALL member models
+        return carry + jnp.sum(jnp.argmax(fused, -1))
+
+    rgb224 = jax.jit(
+        lambda k: jax.random.uniform(
+            k, (b, FRAMES, SIZE, SIZE, 3), jnp.float32, 0.0, 255.0
+        )
+    )(jax.random.key(7))
+    carry = hetero_step(c3d_sv, i3d_sv, ts_sv, r3d_sv, rgb224, jnp.int32(0))
+    _ = float(carry)  # compile + sync
+    iters = int(os.environ.get("BENCH_HETERO_ITERS", "6"))
+    carry = jnp.int32(0)
+    t0 = time.perf_counter()
+    for _i in range(iters):
+        carry = hetero_step(c3d_sv, i3d_sv, ts_sv, r3d_sv, rgb224, carry)
+    _ = float(carry)
+    results["hetero_ensemble_clips_per_sec"] = round(
+        b * iters / (time.perf_counter() - t0), 2
+    )
+
+
+def _train_rates_breakout(results: dict):
+    """Per-family TRAINING throughput (VERDICT r3 weak-4): steady-state
+    resident train-step rate for each architecture at its own clip
+    geometry — the number that sizes the reference's 20-Slurm-day
+    training runs (train.py:1978-2051) on TPU.  HBM-resident ingest
+    (upload once, gather on device) so the rate is the device fwd+bwd,
+    not the relay tunnel."""
+    import jax
+    import jax.numpy as jnp
+
+    from crowded_scenes_ensemble_classification_tpu.data.resident import (
+        ResidentClips,
+    )
+    from crowded_scenes_ensemble_classification_tpu.models import build_model
+    from crowded_scenes_ensemble_classification_tpu.train import (
+        TrainState,
+        make_optimizer,
+        make_resident_train_step,
+    )
+
+    rng = np.random.default_rng(9)
+    fams = [
+        ("c3d", "C3D", int(os.environ.get("BENCH_TRAIN_BATCH_C3D", "32"))),
+        ("i3d", "I3D", int(os.environ.get("BENCH_TRAIN_BATCH_I3D", "16"))),
+        (
+            "twostream",
+            "TWOSTREAM_I3D",
+            int(os.environ.get("BENCH_TRAIN_BATCH_TS", "8")),
+        ),
+        ("r3d18", "R3D_18", int(os.environ.get("BENCH_TRAIN_BATCH_R3D", "32"))),
+    ]
+    deadline = results.get("_deadline")
+    for name, mt, b in fams:
+        if deadline is not None and time.monotonic() > deadline:
+            results[f"train_clips_per_sec_{name}_skipped"] = "budget"
+            continue
+        try:
+            bundle = build_model(mt, num_classes=11, dtype=jnp.bfloat16)
+            hw = (bundle.clip.height, bundle.clip.width)
+            t = bundle.clip.frames
+            n = 2 * b
+            stage = (hw[0] + 32, hw[1] + 32)  # staging slack for the crop
+            arrays = {
+                "rgb": rng.integers(
+                    0, 255, (n, t, stage[0], stage[1], 3), np.uint8
+                )
+            }
+            if bundle.two_stream:
+                # staged gray pairs carry a trailing channel dim, the
+                # pipeline's staging convention (data.video_io; engine
+                # _preprocess reads gray4[..., 0])
+                gray = arrays["rgb"].mean(-1, keepdims=True).astype(np.float32)
+                arrays["gray"] = gray
+                arrays["gray_next"] = np.roll(gray, -1, axis=1)
+            labels = rng.integers(0, 11, n)
+            rc = ResidentClips(arrays, labels, batch_size=b, seed=0)
+            _ = float(jnp.sum(rc.resident["label"].astype(jnp.int32)))
+
+            tx = make_optimizer(mt, 0.003)
+            step = make_resident_train_step(
+                bundle, tx, hw, augment=True, input_scale=1.0
+            )
+            state = TrainState.create(
+                bundle.init(jax.random.key(0), batch_size=1), tx, jax.random.key(1)
+            )
+            cw = jnp.ones((11,), jnp.float32)
+            state, mtr = step(state, next(iter(rc.batches(0))), cw)
+            _ = float(mtr["loss"])  # compile + sync
+
+            n_steps = 0
+            t0 = time.perf_counter()
+            for e in range(3):
+                for batch in rc.batches(e + 1):
+                    state, mtr = step(state, batch, cw)
+                    n_steps += 1
+            _ = float(mtr["loss"])  # chain-sync
+            results[f"train_clips_per_sec_{name}"] = round(
+                b * n_steps / (time.perf_counter() - t0), 2
+            )
+        except Exception as e:  # one family failing must not kill the rest
+            results[f"train_clips_per_sec_{name}_error"] = (
+                f"{type(e).__name__}: {e}"
+            )[:200]
+
+
+_BENCH_T0 = time.monotonic()  # reset at main() entry; budget anchor
+
 _PROGRESS: list = []
 
 
@@ -480,6 +675,8 @@ def _arm_global_watchdog(finished: threading.Event):
 def main():
     import jax
 
+    global _BENCH_T0
+    _BENCH_T0 = time.monotonic()
     finished = threading.Event()
     _arm_global_watchdog(finished)
     if os.environ.get("BENCH_CRASH_TEST") == "1":  # test hook (driver
@@ -832,27 +1029,57 @@ def main():
         **ingest_fields,
     }
     # Breakouts under a watchdog: a stuck remote compile must never cost
-    # the driver the primary JSON line.  If the budget expires, print
-    # without the flow fields and hard-exit (the abandoned compile thread
-    # would otherwise keep the process alive).
+    # the driver the primary JSON line.  Sections run SEQUENTIALLY (the
+    # single-core host + one compile relay poison concurrent
+    # measurements), each inside a daemon thread with a timeout, against
+    # one shared wall-clock budget (BENCH_BUDGET_S) — a section whose
+    # estimated cost no longer fits is skipped with a marker instead of
+    # risking the already-measured primary line.
     import sys
 
-    extra: dict = {}
-    hard_exit = False
     _mark("breakouts_start")
-    done = threading.Event()
-    if os.environ.get("BENCH_SKIP_BREAKOUTS") == "1":
-        done.set()
-    else:
-        def _breakouts():
-            _flow_breakouts(extra)
-            done.set()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "5400"))
+    deadline = _BENCH_T0 + budget_s
+    hung: list = []
 
-        th = threading.Thread(target=_breakouts, daemon=True)
+    def run_section(name, fn, est_s, timeout_env, default_timeout):
+        if os.environ.get("BENCH_SKIP_BREAKOUTS") == "1":
+            return
+        if hung:
+            results[f"{name}_skipped"] = f"earlier section hung: {hung[0]}"
+            return
+        remaining = deadline - time.monotonic()
+        if remaining < est_s:
+            results[f"{name}_skipped"] = (
+                f"budget: {remaining:.0f}s left < est {est_s:.0f}s"
+            )
+            return
+        _mark(f"{name}_start")
+        scratch: dict = {"_deadline": deadline}
+        sdone = threading.Event()
+
+        def _wrap():
+            try:
+                fn(scratch)
+            except Exception as e:  # diagnosable, never fatal
+                scratch[f"{name}_error"] = (f"{type(e).__name__}: {e}")[:300]
+            sdone.set()
+
+        th = threading.Thread(target=_wrap, daemon=True)
         th.start()
-        th.join(timeout=float(os.environ.get("BENCH_BREAKOUT_TIMEOUT_S", "2700")))
-        if done.is_set():
-            results.update(extra)
+        th.join(
+            timeout=min(
+                remaining, float(os.environ.get(timeout_env, default_timeout))
+            )
+        )
+        if sdone.is_set():
+            scratch.pop("_deadline", None)
+            results.update(scratch)
+        else:
+            results[f"{name}_error"] = "timeout: section hung"
+            hung.append(name)
+
+    run_section("flow", _flow_breakouts, 400, "BENCH_BREAKOUT_TIMEOUT_S", 2700)
     if "twostream_clips_per_sec" in results:
         # TwoStream e2e: the wire carries rgb only (flow is computed on
         # device from it), so the decode-inclusive rate is bounded by the
@@ -864,13 +1091,11 @@ def main():
             ),
             2,
         )
-    if os.environ.get("BENCH_TWOSTREAM_E2E") == "1":
-        # Opt-in MEASURED TwoStream decode-inclusive e2e (wire-fed, flow
-        # computed on device from the shipped rgb).  Off by default: the
-        # extra full TwoStream wire-pipeline compile (~3-5 min via the
-        # axon helper) would risk the driver's bench window, and the
-        # number is transfer-bound to the same h2d ceiling the bound
-        # field already reports.
+    def _ts_e2e(res: dict):
+        # MEASURED TwoStream decode-inclusive e2e (wire-fed, flow computed
+        # on device from the shipped rgb) — BASELINE config #4 as a
+        # default field since round 4 (VERDICT r3 #3); the wire transfer
+        # overlaps compute via the feeder thread, same as the headline.
         from crowded_scenes_ensemble_classification_tpu.flow.farneback import (
             TURBO_PARAMS,
             farneback_flow_batch,
@@ -887,7 +1112,7 @@ def main():
         ts_stacked = stack_variables(
             [ts_bundle.module.init(k, rgb_d, flow_d, train=False) for k in tkeys]
         )
-        tsb = TWOSTREAM_BATCH
+        tsb = min(TWOSTREAM_BATCH, n_clips)  # tiny-size smoke safety
         ts_steps = n_clips // tsb
         ts_plan = plan_wire_steps(
             jax.random.key(11), ts_steps, tsb, FRAMES,
@@ -968,65 +1193,36 @@ def main():
             )
             n_ts += 1
         float(carry)
-        results["twostream_e2e_clips_per_sec"] = round(
+        res["twostream_e2e_clips_per_sec"] = round(
             tsb * n_ts / (time.perf_counter() - t0), 2
         )
+
+    # Default sections since round 4 (VERDICT r3 #3: all five BASELINE
+    # configs in the one JSON line).  Estimated costs are conservative
+    # remote-compile + measure figures; the shared budget skips (with a
+    # marker) whatever no longer fits instead of risking the line.
+    if os.environ.get("BENCH_TWOSTREAM_E2E", "1") == "1":
+        run_section("twostream_e2e", _ts_e2e, 500, "BENCH_TS_E2E_TIMEOUT_S", 1800)
+    if os.environ.get("BENCH_HETERO", "1") == "1":
+        run_section("hetero", _hetero_breakout, 700, "BENCH_HETERO_TIMEOUT_S", 1800)
+    if os.environ.get("BENCH_TRAIN_RATES", "1") == "1":
+        run_section(
+            "train_rates", _train_rates_breakout, 900,
+            "BENCH_TRAIN_TIMEOUT_S", 2700,
+        )
     if os.environ.get("BENCH_SERVING") == "1":
-        if not done.is_set():
-            results["serving_error"] = "skipped: flow breakout timed out"
-        else:
-            _mark("serving_start")
-            sdone = threading.Event()
-
-            def _serving():
-                try:
-                    _serving_breakout(results, eval_reader)
-                except Exception as e:
-                    results["serving_error"] = (
-                        f"{type(e).__name__}: {e}"
-                    )[:200]
-                sdone.set()
-
-            sth = threading.Thread(target=_serving, daemon=True)
-            sth.start()
-            sth.join(
-                timeout=float(os.environ.get("BENCH_SERVING_TIMEOUT_S", "2700"))
-            )
-            if not sdone.is_set():
-                results["serving_error"] = "timeout: serving breakout hung"
-                hard_exit = True
+        run_section(
+            "serving", lambda res: _serving_breakout(res, eval_reader),
+            600, "BENCH_SERVING_TIMEOUT_S", 2700,
+        )
     if os.environ.get("BENCH_RESIDENT") == "1":
-        if not done.is_set():
-            # the flow-breakout thread timed out and its abandoned compile
-            # is still running — a concurrent measurement on the
-            # single-core host would poison both (MEMORY.md)
-            results["resident_error"] = "skipped: flow breakout timed out"
-        else:
-            # same protection as the flow breakouts: a hang here must not
-            # forfeit the already-measured primary line
-            _mark("resident_start")
-            rdone = threading.Event()
-
-            def _resident():
-                try:
-                    _resident_breakout(results, staging_reader)
-                except Exception as e:  # diagnosable, never fatal
-                    results["resident_error"] = (
-                        f"{type(e).__name__}: {e}"
-                    )[:200]
-                rdone.set()
-
-            rth = threading.Thread(target=_resident, daemon=True)
-            rth.start()
-            rth.join(
-                timeout=float(os.environ.get("BENCH_RESIDENT_TIMEOUT_S", "2700"))
-            )
-            if not rdone.is_set():
-                results["resident_error"] = "timeout: resident breakout hung"
-                hard_exit = True
+        run_section(
+            "resident", lambda res: _resident_breakout(res, staging_reader),
+            600, "BENCH_RESIDENT_TIMEOUT_S", 2700,
+        )
     finished.set()
     print(json.dumps(results))
-    if hard_exit or not done.is_set():
+    if hung:
         # an abandoned breakout thread would otherwise keep the process
         # alive past the driver's patience
         sys.stdout.flush()

@@ -31,10 +31,16 @@ def test_bench_driver_contract_smoke(ingest):
         BENCH_CACHE_BATCHES="2",
         BENCH_EPOCHS="1",
         BENCH_DEVICE_ITERS="1",
-        BENCH_SKIP_BREAKOUTS="1",
         BENCH_INGEST=ingest,
     )
     env.pop("BENCH_TWOSTREAM_E2E", None)
+    if ingest == "wire":
+        # exercise the budget-aware section runner: an exhausted budget
+        # must SKIP every default section with a marker, never hang or
+        # kill the primary line (round-4 five-config sections)
+        env["BENCH_BUDGET_S"] = "1"
+    else:
+        env["BENCH_SKIP_BREAKOUTS"] = "1"
     # the conftest's platform pin must not leak into the subprocess
     env.pop("JAX_PLATFORMS", None)
     proc = subprocess.run(
@@ -63,6 +69,10 @@ def test_bench_driver_contract_smoke(ingest):
     assert "unit" in results
     # both ingest modes ship 4:2:0 — half the bytes of full-chroma BGR
     assert results["wire_colorspace"] == "yuv420"
+    if ingest == "wire":
+        # every default section budget-skipped with a marker
+        for sec in ("flow", "twostream_e2e", "hetero", "train_rates"):
+            assert "budget" in results[f"{sec}_skipped"], (sec, results)
     if ingest == "resident":
         assert results["ingest"] == "resident"
         assert results["resident_upload_s"] >= 0

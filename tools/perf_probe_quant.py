@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--members", type=int, default=4)
     ap.add_argument("--modes", default="bf16,static,dynamic")
+    ap.add_argument("--fuse", action="store_true",
+                    help="fuse_1x1=True inception blocks (exact rewrite)")
     args = ap.parse_args()
 
     from crowded_scenes_ensemble_classification_tpu.ensemble.members import (
@@ -47,7 +49,8 @@ def main():
     def bench_mode(mode):
         quant = {"bf16": False, "static": "static", "dynamic": True}[mode]
         bundle = build_model(
-            "I3D", num_classes=11, dtype=jnp.bfloat16, quant=quant
+            "I3D", num_classes=11, dtype=jnp.bfloat16, quant=quant,
+            fuse_1x1=args.fuse,
         )
         prestaged = bundle.module.clone(stem_prestaged=True)
         dummy_xs = s2d_stem_stage(jnp.zeros((1, T, S, S, 3), jnp.bfloat16))
