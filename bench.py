@@ -112,6 +112,17 @@ WIRE_COLORSPACE = os.environ.get("BENCH_WIRE", "yuv420")
 #     per-step transfer path), kept for per-step-ingest measurement.
 INGEST = os.environ.get("BENCH_INGEST", "resident")
 
+# BENCH_FUSE_1X1=1 builds the I3D family with fused block-input 1×1
+# convs (models/i3d.py fuse_1x1 — exact rewrite, identical param tree).
+# Default OFF: a same-process A/B on the real chip (round 4, B=96
+# 4-member ensemble forward) measured bf16 249.9 clips/s unfused vs
+# 237.6 fused and static-int8 259.9 vs 241.7 — XLA already keeps the
+# block input in registers across the three 1×1 contractions, and the
+# fused form's per-branch BN over misaligned channel slices breaks its
+# epilogue fusion.  (An earlier "+21%" compared a fused forward-only
+# probe against the decode-inclusive device number.)
+FUSE_1X1 = os.environ.get("BENCH_FUSE_1X1", "0") == "1"
+
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
@@ -266,7 +277,10 @@ def _flow_breakouts(results: dict):
             s2d_stem_stage,
         )
 
-        bundle = build_model("TWOSTREAM_I3D", num_classes=11, dtype=jnp.bfloat16)
+        bundle = build_model(
+            "TWOSTREAM_I3D", num_classes=11, dtype=jnp.bfloat16,
+            fuse_1x1=FUSE_1X1,
+        )
         ts_prestaged = bundle.module.clone(stem_prestaged=True)
         keys = jax.random.split(jax.random.key(5), NUM_MEMBERS)
         b, t = TWOSTREAM_BATCH, FRAMES
@@ -406,7 +420,8 @@ def _hetero_breakout(results: dict):
     m = NUM_MEMBERS
 
     def family(mt):
-        bundle = build_model(mt, num_classes=11, dtype=jnp.bfloat16)
+        kw = {"fuse_1x1": FUSE_1X1} if mt.endswith("I3D") else {}
+        bundle = build_model(mt, num_classes=11, dtype=jnp.bfloat16, **kw)
         v = bundle.init(jax.random.key(sum(map(ord, mt))), batch_size=1)
         # replicate one init across members — weight VALUES don't change
         # the rate, and one init compile per family instead of four keeps
@@ -544,8 +559,20 @@ def _train_rates_breakout(results: dict):
             _ = float(jnp.sum(rc.resident["label"].astype(jnp.int32)))
 
             tx = make_optimizer(mt, 0.003)
+            # TwoStream trains with the production turbo schedule
+            # (`train --flow-schedule turbo`; EPE-gated vs 'full') — the
+            # full 5-iteration schedule at 256² staging would make the
+            # rate a flow benchmark, not a train benchmark
+            fp = None
+            if bundle.two_stream:
+                from crowded_scenes_ensemble_classification_tpu.flow.farneback import (
+                    flow_schedule_params,
+                )
+
+                fp = flow_schedule_params("turbo")
+                results["train_twostream_flow_schedule"] = "turbo"
             step = make_resident_train_step(
-                bundle, tx, hw, augment=True, input_scale=1.0
+                bundle, tx, hw, augment=True, input_scale=1.0, flow_params=fp
             )
             state = TrainState.create(
                 bundle.init(jax.random.key(0), batch_size=1), tx, jax.random.key(1)
@@ -603,7 +630,9 @@ def _serving_breakout(results: dict, eval_reader):
     )
 
     b = int(os.environ.get("BENCH_SERVING_BATCH", "32"))
-    bundle = build_model("I3D", num_classes=11, dtype=jnp.bfloat16)
+    bundle = build_model(
+        "I3D", num_classes=11, dtype=jnp.bfloat16, fuse_1x1=FUSE_1X1
+    )
     assert (bundle.clip.frames, bundle.clip.height) == (FRAMES, SIZE), (
         ClipSpec,
         bundle.clip,
@@ -719,7 +748,9 @@ def main():
         s2d_stem_stage,
     )
 
-    bundle = build_model("I3D", num_classes=11, dtype=jnp.bfloat16)
+    bundle = build_model(
+        "I3D", num_classes=11, dtype=jnp.bfloat16, fuse_1x1=FUSE_1X1
+    )
     keys = jax.random.split(jax.random.key(0), NUM_MEMBERS)
     dummy = jnp.zeros((1, FRAMES, SIZE, SIZE, 3), jnp.bfloat16)
     stacked = stack_variables(
@@ -1042,8 +1073,11 @@ def main():
     deadline = _BENCH_T0 + budget_s
     hung: list = []
 
-    def run_section(name, fn, est_s, timeout_env, default_timeout):
-        if os.environ.get("BENCH_SKIP_BREAKOUTS") == "1":
+    def run_section(name, fn, est_s, timeout_env, default_timeout, forced=False):
+        # BENCH_SKIP_BREAKOUTS drops the DEFAULT sections only — a
+        # section the caller explicitly requested (BENCH_SERVING=1 /
+        # BENCH_RESIDENT=1) still runs
+        if os.environ.get("BENCH_SKIP_BREAKOUTS") == "1" and not forced:
             return
         if hung:
             results[f"{name}_skipped"] = f"earlier section hung: {hung[0]}"
@@ -1213,12 +1247,12 @@ def main():
     if os.environ.get("BENCH_SERVING") == "1":
         run_section(
             "serving", lambda res: _serving_breakout(res, eval_reader),
-            600, "BENCH_SERVING_TIMEOUT_S", 2700,
+            600, "BENCH_SERVING_TIMEOUT_S", 2700, forced=True,
         )
     if os.environ.get("BENCH_RESIDENT") == "1":
         run_section(
             "resident", lambda res: _resident_breakout(res, staging_reader),
-            600, "BENCH_RESIDENT_TIMEOUT_S", 2700,
+            600, "BENCH_RESIDENT_TIMEOUT_S", 2700, forced=True,
         )
     finished.set()
     print(json.dumps(results))

@@ -70,6 +70,14 @@ def _add_config_flags(p: argparse.ArgumentParser):
              "from the unaugmented staged frames (see PARITY.md)",
     )
     p.add_argument(
+        "--flow-schedule", choices=("full", "turbo"), default=None,
+        help="on-device Farnebäck iteration schedule: 'full' = the "
+             "reference's 5-iteration schedule (cv2 parity), 'turbo' = "
+             "EPE-gated adaptive schedule, ~2-3x flow throughput "
+             "(default: the schedule saved by launch/train for this "
+             "config in the work dir, else 'full')",
+    )
+    p.add_argument(
         "--mesh-data", type=int, default=None, metavar="N",
         help="shard batches (and resident datasets) over an N-device "
              "data-parallel jax.sharding.Mesh; -1 = all local devices "
@@ -100,20 +108,29 @@ def _config_from_args(args) -> ExperimentConfig:
         epochs=args.epochs,
         input_scale=args.input_scale if args.input_scale is not None else 1.0,
         flow_from_augmented=getattr(args, "flow_from_augmented", False),
+        flow_schedule=getattr(args, "flow_schedule", None) or "full",
     )
-    if args.input_scale is None and getattr(args, "work_dir", None):
-        # Recover the scale the members trained with: launch/train persist
-        # the config per subfolder (WorkLayout.experiment_json), so probs/
-        # ensemble/report can't silently evaluate at a different scale.
+    flow_schedule_given = getattr(args, "flow_schedule", None) is not None
+    if (args.input_scale is None or not flow_schedule_given) and getattr(
+        args, "work_dir", None
+    ):
+        # Recover the scale/flow-schedule the members trained with:
+        # launch/train persist the config per subfolder
+        # (WorkLayout.experiment_json), so probs/ensemble/report can't
+        # silently evaluate with different preprocessing.
         import dataclasses
 
         from ..orchestration import WorkLayout
 
         saved = WorkLayout(args.work_dir).experiment_json(cfg)
         if os.path.exists(saved):
-            cfg = dataclasses.replace(
-                cfg, input_scale=ExperimentConfig.load(saved).input_scale
-            )
+            loaded = ExperimentConfig.load(saved)
+            updates = {}
+            if args.input_scale is None:
+                updates["input_scale"] = loaded.input_scale
+            if not flow_schedule_given:
+                updates["flow_schedule"] = loaded.flow_schedule
+            cfg = dataclasses.replace(cfg, **updates)
     return cfg
 
 
@@ -205,6 +222,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(models.common.quant_conv_general; same member "
                         "checkpoints, accuracy-gated) — for memory-bound "
                         "deployment targets")
+    p.add_argument("--fuse-1x1", action="store_true",
+                   help="I3D family: export with fused inception "
+                        "block-input 1x1 convs (exact rewrite, same "
+                        "checkpoints; measured ~5%% slower than XLA's "
+                        "unfused lowering on v5e — see PARITY.md — but "
+                        "other hardware may differ)")
     p.add_argument("--mesh-member", type=int, default=None, metavar="M",
                    help="with --mesh-data: export a MULTI-CHIP artifact over "
                         "an (member=M, data=N) jax.sharding.Mesh — SPMD "
@@ -261,6 +284,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "the first batches and pre-bakes int8 weights (the "
                         "fast path); caches at separate `…_int8`/"
                         "`…_int8static` npz paths")
+    p.add_argument("--fuse-1x1", action="store_true",
+                   help="I3D family: run each inception block's three "
+                        "block-input 1x1x1 convs as ONE conv (exact "
+                        "rewrite, same checkpoints; measured ~5%% slower "
+                        "than XLA's unfused lowering on v5e — see "
+                        "PARITY.md).  Composes with --quant static "
+                        "(bit-identical there)")
 
     p = sub.add_parser("ensemble", help="ensemble evaluation")
     _add_config_flags(p)
@@ -280,6 +310,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["dynamic", "static"],
                    help="consume (computing on miss) the quantized "
                         "probability caches — see `probs --quant`")
+    p.add_argument("--fuse-1x1", action="store_true",
+                   help="compute-on-miss with fused inception 1x1 convs "
+                        "— see `probs --fuse-1x1`")
     p.add_argument(
         "--models", "-ml", nargs="*", default=None,
         help="model specs for global/combine ops, e.g. C3D_SCRATCH "
@@ -439,8 +472,14 @@ def main(argv=None) -> int:
 
         config = _config_from_args(args)
         layout = WorkLayout(args.work_dir)
+        model_kwargs = (
+            {"fuse_1x1": True}
+            if args.fuse_1x1 and "I3D" in config.model_type
+            else {}
+        )
         bundle = build_model(
-            config.model_type, config.num_classes, quant=args.quant
+            config.model_type, config.num_classes, quant=args.quant,
+            **model_kwargs,
         )
         variables, names = _member_variables(config, layout, bundle, args.test_index)
         weights = np.load(args.weights_npy) if args.weights_npy else None
@@ -481,6 +520,7 @@ def main(argv=None) -> int:
             "test_index": args.test_index,
             "members": names,
             "quant": args.quant,
+            "fuse_1x1": bool(model_kwargs),
             "input_scale": config.input_scale,
             "platforms": platforms,
             "params_baked": mesh is None and not args.no_bake_params,
@@ -596,6 +636,7 @@ def main(argv=None) -> int:
                 long_frames=args.long_frames,
                 recompute=args.recompute,
                 quant=args.quant,
+                fuse_1x1=args.fuse_1x1,
             )
             print(path)
             if args.export_csv:
@@ -626,6 +667,8 @@ def main(argv=None) -> int:
             )
         if args.quant:
             provider_kwargs["quant"] = args.quant
+        if args.fuse_1x1:
+            provider_kwargs["fuse_1x1"] = True
         provider = make_prob_provider(config, layout, **provider_kwargs)
         if args.operation == "evaluate":
             res = evaluate_ensembles(

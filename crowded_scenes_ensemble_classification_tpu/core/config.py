@@ -119,6 +119,17 @@ class ExperimentConfig:
     # (train.py:195-221); see PARITY.md.  Only meaningful for TwoStream
     # augmented on-the-fly-flow experiments (the SPECIALCASE config).
     flow_from_augmented: bool = False
+    # On-device Farnebäck iteration schedule for FarneBack_onTheFly runs
+    # (training AND probability caching — the two must agree, so it lives
+    # in the persisted config like input_scale):
+    #   'full'  — the reference's 5-iteration schedule at every pyramid
+    #             level (cv2 parity; train.py:223-239).
+    #   'turbo' — flow.farneback.TURBO_PARAMS: full budget at coarse
+    #             levels, one residual refinement pass at the 3 finest.
+    #             ~2-3× flow throughput, EPE within ≤0.01 px of 'full'
+    #             on every motion-suite case (tests/test_flow.py gates).
+    # Ignored by TVL1_precomputed and RGB-only runs.
+    flow_schedule: str = "full"
 
     def __post_init__(self):
         if self.model_type not in MODEL_TYPES:
@@ -134,6 +145,10 @@ class ExperimentConfig:
         if self.optical_flow_status not in OPTICAL_FLOW_STATUSES:
             raise ValueError(
                 f"optical_flow_status {self.optical_flow_status!r} not in {OPTICAL_FLOW_STATUSES}"
+            )
+        if self.flow_schedule not in ("full", "turbo"):
+            raise ValueError(
+                f"flow_schedule {self.flow_schedule!r} not in ('full', 'turbo')"
             )
         if self.folds_number < 3:
             # every (test, val) fold pair must leave ≥1 train fold

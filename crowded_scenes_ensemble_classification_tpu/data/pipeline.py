@@ -211,25 +211,50 @@ def prefetch_batches(pipeline: "BatchPipeline", epoch: int = 0, depth: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     err: List[BaseException] = []
+    stop = threading.Event()  # consumer gone — unblock + end the producer
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in pipeline.batches(epoch):
-                q.put(batch)
+                if not _put(batch):
+                    return  # early consumer exit: end mid-epoch, closing
+                    # pipeline.batches' decode pool with it
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        yield item
-    t.join()
-    if err:
+    done = False
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                done = True
+                break
+            yield item
+    finally:
+        # a consumer that breaks early (e.g. calibration takes the first
+        # N batches) must not leave the producer blocked on a full queue
+        # for the process lifetime, pinning staged uint8 batches
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join()
+    if done and err:
         raise err[0]
 
 

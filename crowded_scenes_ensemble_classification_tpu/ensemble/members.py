@@ -137,11 +137,14 @@ def calibrate_members(
     if not batches:
         raise ValueError("calibrate_members: empty pipeline")
 
+    # preprocessing (resize, scaling, on-device flow) is member-
+    # independent — compute it ONCE per batch, not once per member
+    arg_sets = [_args(batch) for batch in batches]
     out = []
     for v in variables_list:
         vs = dict(v)
-        for batch in batches:
-            vs = {**vs, **_calib_step(vs, *_args(batch))}
+        for args in arg_sets:
+            vs = {**vs, **_calib_step(vs, *args)}
         out.append(quantize_variables(vs))
     return out
 
@@ -276,11 +279,14 @@ def member_probabilities(
     pipeline,
     mesh: Optional[Mesh] = None,
     input_scale: float = 1.0,
+    flow_params: Optional[dict] = None,
 ) -> np.ndarray:
     """Run every member over the whole pipeline → (M, N, C) float32, in
     dataset order (the probability-store tensor; reference
     store_probabilities evaluate_ensemble.py:1002-1109).  input_scale must
-    be the scale the members trained with (see make_member_forward)."""
+    be the scale the members trained with (see make_member_forward);
+    flow_params likewise must be the Farnebäck schedule they trained with
+    (flow.farneback.flow_schedule_params(config.flow_schedule))."""
     out_hw = (bundle.clip.height, bundle.clip.width)
     stacked = stack_variables(variables_list)
     # I3D-family: compute the s2d stem staging once per batch, shared by
@@ -292,11 +298,12 @@ def member_probabilities(
         stacked = shard_stacked(stacked, mesh)
         forward = get_member_forward(
             bundle, out_hw, mesh, share_stem_staging=share,
-            input_scale=input_scale,
+            input_scale=input_scale, flow_params=flow_params,
         )
     else:
         forward = get_member_forward(
-            bundle, out_hw, share_stem_staging=share, input_scale=input_scale
+            bundle, out_hw, share_stem_staging=share, input_scale=input_scale,
+            flow_params=flow_params,
         )
 
     from ..data.pipeline import prefetch_batches

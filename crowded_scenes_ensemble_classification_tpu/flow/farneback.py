@@ -75,6 +75,18 @@ TURBO_PARAMS = dict(
 FLOW_CHUNK_PAIRS = 80
 
 
+def flow_schedule_params(schedule: str):
+    """ExperimentConfig.flow_schedule → the flow_params dict every
+    train/eval/member-forward builder accepts.  'full' → None (the
+    reference's 5-iteration schedule, cv2 parity); 'turbo' →
+    TURBO_PARAMS (EPE-gated adaptive schedule, ~2-3× throughput)."""
+    if schedule == "turbo":
+        return dict(TURBO_PARAMS)
+    if schedule == "full":
+        return None
+    raise ValueError(f"unknown flow schedule {schedule!r}")
+
+
 def _poly_exp_setup(poly_n: int, poly_sigma: float):
     """Precompute the 1-D moment kernels and the constant LS solve matrix.
 

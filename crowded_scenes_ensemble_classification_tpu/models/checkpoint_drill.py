@@ -109,7 +109,6 @@ def _parity(model_type: str, stream_layers: Dict[str, Dict]) -> Dict:
     import jax
     import jax.numpy as jnp
 
-    from .pretrained import load_pretrained_variables
     from . import weights_io as wio
 
     oracles = _oracles()

@@ -316,6 +316,68 @@ class ExternalConvBN(nn.Module):
         return nn.relu(y)
 
 
+class _QuantConvState(nn.Module):
+    """State holder for a statically-quantized conv whose int8 contraction
+    runs fused OUTSIDE the module: declares the same `kernel` param,
+    `qstats/act_absmax` and `qparams/{k8,sw}` variables (same paths) as
+    QuantConv in 'static' mode, so calibrated+baked variables from the
+    unfused graph (models.quantize) load unchanged."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+        stat = self.variable(
+            "qstats", "act_absmax", lambda: jnp.zeros((), jnp.float32)
+        )
+        if self.has_variable("qparams", "k8"):
+            k8 = self.variable("qparams", "k8", lambda: None).value
+            sw = self.variable("qparams", "sw", lambda: None).value
+        else:
+            k8, sw = weight_qparams(kernel)
+        return k8, sw, stat.value
+
+
+class ExternalQuantConvBN(nn.Module):
+    """ConvBN(quant='static') stand-in whose int8 contraction runs fused
+    OUTSIDE the module (the inception fuse_1x1 rewrite under static
+    quantization): exposes the branch's pre-baked (k8, sw, act_absmax)
+    via `quant_state()` for the caller's fused conv and applies the
+    module's own `<name>/bn` + ReLU to the caller's dequantized slice.
+    Variable tree (conv/kernel + conv qstats/qparams + bn/*) is identical
+    to ConvBN(quant='static'), so calibrated checkpoints are
+    interchangeable between fused and unfused graphs."""
+
+    features: int
+    kernel: Tuple[int, int, int]
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        # nb: Module._state is a Flax-internal attribute — don't shadow it
+        self._qstate = _QuantConvState(
+            (*self.kernel, self.in_features, self.features), name="conv"
+        )
+        self._bn = nn.BatchNorm(
+            momentum=KERAS_BN_MOMENTUM,
+            epsilon=KERAS_BN_EPS,
+            use_scale=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )
+
+    def quant_state(self) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        return self._qstate()
+
+    def __call__(self, conv_out: jax.Array, train: bool = False) -> jax.Array:
+        y = self._bn(conv_out, use_running_average=not train)
+        return nn.relu(y)
+
+
 class BNRelu(nn.Module):
     """BatchNorm (full affine) + ReLU — the R3D pre-activation helper
     (reference `_bn_relu` train.py:1278-1281)."""

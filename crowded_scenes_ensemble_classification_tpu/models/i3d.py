@@ -67,13 +67,27 @@ class InceptionBlock(nn.Module):
     fuse_1x1=True runs the three 1×1×1 convs that read the block input
     (b0_1x1, b1_1x1, b2_1x1) as ONE conv whose kernel is their in-graph
     concatenation on the output-feature axis — exact same math and zero
-    extra FLOPs, but one MXU contraction instead of three narrow ones and
-    one HBM read of the block input instead of three.  Parameter tree is
-    unchanged (models.common.ExternalConvBN keeps the canonical
+    extra FLOPs, one MXU contraction instead of three narrow ones.
+    Measured on v5e (round-4 same-process A/B, B=96 4-member forward)
+    it is ~5% SLOWER than XLA's unfused lowering in both bf16 and
+    static-int8 — XLA already fuses the three contractions' input reads,
+    and the per-branch BN over misaligned channel slices breaks its
+    epilogue fusion — so it ships default-OFF as an opt-in for hardware
+    where the trade goes the other way.  Parameter tree is unchanged
+    (models.common.ExternalConvBN keeps the canonical
     `<branch>/conv/kernel` + `<branch>/bn` paths), so checkpoints are
-    interchangeable between fused and unfused graphs.  Not combined with
-    quant (the quantized convs have per-branch calibration state); quant
-    takes precedence."""
+    interchangeable between fused and unfused graphs.
+
+    fuse_1x1 composes with quant='static' (ExternalQuantConvBN): the int8
+    kernels/scales of the three branches concatenate on the output-channel
+    axis and the block input quantizes ONCE under their shared calibrated
+    activation scale — bit-identical to the unfused static path because
+    all three branches calibrate on the SAME input tensor (equal
+    act_absmax stats; the fused graph takes their max, which only differs
+    if variables were hand-edited).  'dynamic' and 'calib' quant modes
+    stay unfused ('calib' must record per-branch stats at the canonical
+    paths; 'dynamic' is a shipped negative result — see
+    models.common.quant_conv_general)."""
 
     spec: Tuple[int, int, int, int, int, int]
     dtype: jnp.dtype = jnp.float32
@@ -83,13 +97,41 @@ class InceptionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        from .common import ExternalConvBN
+        from .common import (
+            ExternalConvBN,
+            ExternalQuantConvBN,
+            quant_mode,
+            static_quant_conv_general,
+        )
 
         b0_c, b1_r, b1_c, b2_r, b2_c, b3_c = self.spec
         cbn = lambda feats, kernel, name: ConvBN(
             feats, kernel, dtype=self.dtype, quant=self.quant, name=name
         )
-        if self.fuse_1x1 and not self.quant:
+        if self.fuse_1x1 and self.quant and quant_mode(self.quant) == "static":
+            if train:
+                raise ValueError("quant ConvBN is inference-only")
+            cin = int(x.shape[-1])
+            e0 = ExternalQuantConvBN(
+                b0_c, (1, 1, 1), cin, dtype=self.dtype, name="b0_1x1"
+            )
+            e1 = ExternalQuantConvBN(
+                b1_r, (1, 1, 1), cin, dtype=self.dtype, name="b1_1x1"
+            )
+            e2 = ExternalQuantConvBN(
+                b2_r, (1, 1, 1), cin, dtype=self.dtype, name="b2_1x1"
+            )
+            states = [e.quant_state() for e in (e0, e1, e2)]
+            k8 = jnp.concatenate([s[0] for s in states], -1)
+            sw = jnp.concatenate([s[1] for s in states], -1)
+            act = jnp.maximum(jnp.maximum(states[0][2], states[1][2]), states[2][2])
+            red = static_quant_conv_general(
+                x, k8, sw, act / 127.0, (1, 1, 1), "SAME"
+            )
+            branch_0 = e0(red[..., :b0_c], train)
+            branch_1 = e1(red[..., b0_c : b0_c + b1_r], train)
+            branch_2 = e2(red[..., b0_c + b1_r :], train)
+        elif self.fuse_1x1 and not self.quant:
             cin = int(x.shape[-1])
             e0 = ExternalConvBN(b0_c, (1, 1, 1), cin, dtype=self.dtype, name="b0_1x1")
             e1 = ExternalConvBN(b1_r, (1, 1, 1), cin, dtype=self.dtype, name="b1_1x1")

@@ -233,6 +233,9 @@ def train_member(
             config, seed=seed, rgb_h5=rgb_h5, flow_h5=flow_h5
         )
     bundle = bundle or build_model(config.model_type, config.num_classes)
+    from .flow.farneback import flow_schedule_params
+
+    flow_params = flow_schedule_params(config.flow_schedule)
     pipes = _pipelines_for_split(
         config, layout, t, v, staging_hw=staging_hw, num_workers=num_workers
     )
@@ -264,11 +267,18 @@ def train_member(
                 mesh=mesh,
                 input_scale=input_scale,
                 flow_from_augmented=config.flow_from_augmented,
+                flow_params=flow_params,
             )
-        if eval_step is None:
-            eval_step = make_eval_step(
-                bundle, out_hw, mesh, input_scale=input_scale
-            )
+    if eval_step is None:
+        # ONE eval step for fit's epoch loop AND the final test eval —
+        # built here so both use the config's flow schedule
+        from .train.engine import make_eval_step
+
+        out_hw = (bundle.clip.height, bundle.clip.width)
+        eval_step = make_eval_step(
+            bundle, out_hw, mesh, input_scale=input_scale,
+            flow_params=flow_params,
+        )
     ckpt_dir = layout.checkpoint_dir(config, t, v)
 
     from .utils.metrics import MetricsLogger
@@ -296,6 +306,7 @@ def train_member(
         train_step=train_step,
         eval_step=eval_step,
         flow_from_augmented=config.flow_from_augmented,
+        flow_params=flow_params,
     )
 
     best_vars = restore_best(ckpt_dir, result["state"].variables())
@@ -376,11 +387,17 @@ def member_cli_commands(
     rgb_h5: Optional[str] = None,
     flow_h5: Optional[str] = None,
     resident: bool = False,
+    pairs: Optional[Sequence[Tuple[int, int]]] = None,
 ) -> List[str]:
     """The sbatch-parity mode: one CLI command per (t, v) member, for
-    external schedulers (reference launch_train_ensemble.py:144-158)."""
+    external schedulers (reference launch_train_ensemble.py:144-158).
+
+    pairs — restrict to these (test, val) members (recovery runs pass
+    the pending set so completed members are not re-queued)."""
     cmds = []
-    for t, v in split_pairs(config.folds_number):
+    for t, v in (
+        split_pairs(config.folds_number) if pairs is None else pairs
+    ):
         cmd = (
             "python -m crowded_scenes_ensemble_classification_tpu train"
             f" --work-dir {work_dir}"
@@ -400,6 +417,8 @@ def member_cli_commands(
             cmd += f" --input-scale {config.input_scale}"
         if config.flow_from_augmented:
             cmd += " --flow-from-augmented"
+        if config.flow_schedule != "full":
+            cmd += f" --flow-schedule {config.flow_schedule}"
         if rgb_h5:
             cmd += f" --rgb-h5 {rgb_h5}"
         if flow_h5:
@@ -435,12 +454,16 @@ def launch_ensemble_training(
     """
     layout = prepare_ensemble(config, clip_table, work_dir)
     if runner == "commands":
+        # the recover filter applies here too: an external-scheduler
+        # relaunch must emit commands for exactly the pending members,
+        # never re-queue completed ones
         return member_cli_commands(
             config,
             work_dir,
             rgb_h5=member_kwargs.get("rgb_h5"),
             flow_h5=member_kwargs.get("flow_h5"),
             resident=member_kwargs.get("resident", False),
+            pairs=pending_members(config, layout) if recover else None,
         )
 
     if recover:
@@ -487,6 +510,9 @@ def launch_ensemble_training(
         tx, l2w, augment_flag = _step_policy(
             config, member_kwargs.get("optimizer")
         )
+        from .flow.farneback import flow_schedule_params
+
+        shared_flow_params = flow_schedule_params(config.flow_schedule)
         # resident mode gathers train batches from HBM-resident arrays —
         # the shared TRAIN step must be the resident variant (same
         # compile-once sharing: all members use one gather+train
@@ -512,8 +538,12 @@ def launch_ensemble_training(
                 l2_weight=l2w,
                 input_scale=input_scale,
                 flow_from_augmented=config.flow_from_augmented,
+                flow_params=shared_flow_params,
             ),
-            eval_step=make_eval_step(bundle, out_hw, input_scale=input_scale),
+            eval_step=make_eval_step(
+                bundle, out_hw, input_scale=input_scale,
+                flow_params=shared_flow_params,
+            ),
         )
         if config.training_condition == "_PRETRAINED" and (
             member_kwargs.get("initial_variables") is None
@@ -594,6 +624,7 @@ def cache_probabilities(
     long_frames: Optional[int] = None,
     input_scale: Optional[float] = None,
     quant: bool = False,
+    fuse_1x1: bool = False,
 ) -> str:
     """(M, N, C) member probabilities for one test fold → npz cache
     (reference store_probabilities; subset='train_val' concatenates train and
@@ -621,11 +652,25 @@ def cache_probabilities(
     Quantized softmax caches live at their own `…_int8`/`…_int8static`
     npz paths so a bf16/f32 cache is never silently returned for a
     quantized request (or vice versa).  Ignored when an explicit
-    `bundle` is supplied."""
+    `bundle` is supplied.
+
+    fuse_1x1=True (I3D family only) runs member inference with each
+    inception block's three block-input 1×1×1 convs fused into ONE conv
+    (models/i3d.py InceptionBlock — exact rewrite, same checkpoints;
+    measured ~5% slower than XLA's unfused lowering on v5e, kept as an
+    opt-in for other hardware — see PARITY.md).  Composes with
+    quant='static' (bit-identical there); no separate cache path — the
+    math is the same model."""
     if input_scale is None:
         input_scale = config.input_scale
+    from .flow.farneback import flow_schedule_params
+
+    flow_params = flow_schedule_params(config.flow_schedule)
+    model_kwargs = {}
+    if fuse_1x1 and "I3D" in config.model_type:
+        model_kwargs["fuse_1x1"] = True
     bundle = bundle or build_model(
-        config.model_type, config.num_classes, quant=quant
+        config.model_type, config.num_classes, quant=quant, **model_kwargs
     )
     variant = ""
     if long_video:
@@ -642,7 +687,17 @@ def cache_probabilities(
     if probabilities_exist(path) and not recompute:
         return path
 
-    variables, names = _member_variables(config, layout, bundle, t)
+    # checkpoints on disk are plain f32 trees (quant is inference-only):
+    # restore against a quant-free template — a 'static' bundle's init
+    # carries a qstats collection the checkpoint doesn't have, and the
+    # structure-checked restore would refuse.  Calibration re-creates
+    # qstats on the restored variables below.
+    restore_bundle = (
+        build_model(config.model_type, config.num_classes)
+        if quant and bundle.module.quant
+        else bundle
+    )
+    variables, names = _member_variables(config, layout, restore_bundle, t)
     # any val index works for reading the split CSVs of this test fold
     v0 = member_val_indices(config.folds_number, t)[0]
     spec = SampleSpec(
@@ -667,6 +722,35 @@ def cache_probabilities(
     pipe = BatchPipeline(
         df, spec, batch_size=config.batch_size, shuffle=False, num_workers=num_workers
     )
+    if quant == "static":
+        # calibration happens for BOTH the standard and the long-video
+        # path (a 'static' bundle applied with uncalibrated variables
+        # has an empty 'qstats' collection and crashes).  Long-video
+        # clips don't fit the model's clip length, so calibration runs
+        # on a standard-window pipeline over the same subset.
+        from .ensemble.members import calibrate_members
+
+        calib_bundle = build_model(
+            config.model_type, config.num_classes, quant="calib"
+        )
+        calib_pipe = pipe
+        if long_video:
+            calib_spec = SampleSpec(
+                num_frames=config.clip.frames,
+                staging_hw=staging_hw,
+                two_stream=config.is_two_stream,
+                flow_precomputed=(
+                    config.optical_flow_status == "TVL1_precomputed"
+                ),
+            )
+            calib_pipe = BatchPipeline(
+                df, calib_spec, batch_size=config.batch_size,
+                shuffle=False, num_workers=num_workers,
+            )
+        variables = calibrate_members(
+            calib_bundle, variables, calib_pipe, input_scale=input_scale,
+            flow_params=flow_params,
+        )
     if long_video:
         from .parallel.streaming import (
             streaming_member_probabilities_over_pipeline,
@@ -677,17 +761,9 @@ def cache_probabilities(
             input_scale=input_scale,
         )
     else:
-        if quant == "static":
-            from .ensemble.members import calibrate_members
-
-            calib_bundle = build_model(
-                config.model_type, config.num_classes, quant="calib"
-            )
-            variables = calibrate_members(
-                calib_bundle, variables, pipe, input_scale=input_scale
-            )
         probs = member_probabilities(
-            bundle, variables, pipe, mesh=mesh, input_scale=input_scale
+            bundle, variables, pipe, mesh=mesh, input_scale=input_scale,
+            flow_params=flow_params,
         )
     labels = df["class"].astype(int).values
     save_probabilities(path, probs, labels, names)

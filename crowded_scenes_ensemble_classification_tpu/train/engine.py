@@ -574,6 +574,7 @@ def fit(
     train_step=None,
     eval_step=None,
     flow_from_augmented: bool = False,
+    flow_params: Optional[dict] = None,
 ) -> Dict[str, Any]:
     """Epoch loop with the reference's callback semantics.  Returns
     {'history': {...}, 'state': final TrainState, 'best_val_loss': float}.
@@ -626,12 +627,16 @@ def fit(
         train_step = make_train_step(
             bundle, tx, out_hw, augment, augment_p, l2w, mesh,
             input_scale=input_scale, flow_from_augmented=flow_from_augmented,
+            flow_params=flow_params,
         )
     # One jitted eval step for the whole fit: rebuilding it per epoch would
     # retrace (and, on TPU backends without a persistent compile cache,
     # recompile) the full forward every epoch of the hottest loop.
     if eval_step is None:
-        eval_step = make_eval_step(bundle, out_hw, mesh, input_scale=input_scale)
+        eval_step = make_eval_step(
+            bundle, out_hw, mesh, input_scale=input_scale,
+            flow_params=flow_params,
+        )
     early = EarlyStopping(patience=early_stopping_patience)
     history = {"loss": [], "accuracy": [], "val_loss": [], "val_accuracy": []}
     best_val = math.inf

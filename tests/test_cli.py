@@ -460,3 +460,113 @@ def test_mesh_data_flag_builds_mesh_and_threads_through(tmp_path, monkeypatch):
     ])
     assert rc == 0
     assert captured["mesh"] is None
+
+
+def test_probs_quant_static_long_video_cli(tmp_path, capsys):
+    """`probs --quant static --long-video` calibrates BEFORE the
+    window-scan: a 'static' bundle applied with uncalibrated variables
+    has an empty 'qstats' collection and crashes (regression: the
+    calibration leg used to live only in the standard-window branch)."""
+    import jax
+
+    from crowded_scenes_ensemble_classification_tpu.core.config import (
+        ExperimentConfig,
+    )
+    from crowded_scenes_ensemble_classification_tpu.models import build_model
+    from crowded_scenes_ensemble_classification_tpu.orchestration import WorkLayout
+    from crowded_scenes_ensemble_classification_tpu.train.checkpoints import (
+        save_best,
+    )
+
+    work = str(tmp_path / "work")
+    cfg = ExperimentConfig(model_type="C3D", folds_number=3, num_classes=3,
+                           batch_size=2)
+    layout = WorkLayout(work)
+
+    rng = np.random.default_rng(5)
+    clip_dir = tmp_path / "clips"
+    clip_dir.mkdir()
+    rows = []
+    for i in range(4):
+        # 40 frames > the 16-frame C3D window → a true long-video scan
+        clip = rng.integers(0, 255, (40, 64, 64, 3)).astype(np.uint8)
+        p = str(clip_dir / f"clip{i}.npy")
+        np.save(p, clip)
+        rows.append({"rgbclips_path": p, "x_axis_flowclips_path": "",
+                     "y_axis_flowclips_path": "", "class": i % 3})
+    csv_path = layout.split_csv(0, 1, "test")
+    os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+
+    bundle = build_model("C3D", 3)
+    for v in (1, 2):
+        save_best(layout.checkpoint_dir(cfg, 0, v),
+                  bundle.init(jax.random.key(v)))
+
+    rc = main([
+        "probs", "--work-dir", work, "-mt", "C3D", "-fn", "3",
+        "--num-classes", "3", "-bs", "2", "--test-index", "0",
+        "--quant", "static", "--long-video", "--window-stride", "8",
+        "--long-frames", "40",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip()
+    assert "_long40s8_int8static" in os.path.basename(out)
+    assert os.path.exists(out)
+
+    from crowded_scenes_ensemble_classification_tpu.ensemble.probability_store import (
+        load_probabilities,
+    )
+
+    d = load_probabilities(out)
+    assert d["probs"].shape == (2, 4, 3)
+    np.testing.assert_allclose(d["probs"].sum(-1), 1.0, atol=1e-4)
+
+    # the standard-window static path restores the same plain-f32
+    # checkpoints (regression: a 'static' restore template refused them)
+    rc = main([
+        "probs", "--work-dir", work, "-mt", "C3D", "-fn", "3",
+        "--num-classes", "3", "-bs", "2", "--test-index", "0",
+        "--quant", "static",
+    ])
+    assert rc == 0
+    out2 = capsys.readouterr().out.strip()
+    assert out2.endswith("_int8static.npz") and os.path.exists(out2)
+    d2 = load_probabilities(out2)
+    assert d2["probs"].shape == (2, 4, 3)
+
+
+def test_flow_schedule_resolution_from_saved_config(tmp_path):
+    """probs/ensemble/report recover the flow_schedule that launch/train
+    persisted for this config (same contract as input_scale: members
+    trained with turbo flow must be evaluated with turbo flow); an
+    explicit --flow-schedule flag overrides it."""
+    from crowded_scenes_ensemble_classification_tpu.cli.main import (
+        _config_from_args,
+        build_parser,
+    )
+    from crowded_scenes_ensemble_classification_tpu.core.config import (
+        ExperimentConfig,
+    )
+    from crowded_scenes_ensemble_classification_tpu.orchestration import WorkLayout
+
+    work = str(tmp_path / "work")
+    cfg = ExperimentConfig(
+        model_type="TWOSTREAM_I3D", folds_number=3, num_classes=3,
+        flow_schedule="turbo",
+    )
+    cfg.save(WorkLayout(work).experiment_json(cfg))
+
+    parser = build_parser()
+    base = ["probs", "--work-dir", work, "-mt", "TWOSTREAM_I3D", "-fn", "3",
+            "--num-classes", "3"]
+    assert _config_from_args(parser.parse_args(base)).flow_schedule == "turbo"
+    # explicit flag wins
+    args = parser.parse_args(base + ["--flow-schedule", "full"])
+    assert _config_from_args(args).flow_schedule == "full"
+    # a DIFFERENT config in the same work dir does not inherit it
+    other = parser.parse_args(
+        ["probs", "--work-dir", work, "-mt", "I3D", "-fn", "3",
+         "--num-classes", "3"]
+    )
+    assert _config_from_args(other).flow_schedule == "full"

@@ -115,3 +115,43 @@ def test_prng_determinism():
     assert jax.random.uniform(a) != jax.random.uniform(c)
     keys = prng.batch_keys(k, 4)
     assert keys.shape[0] == 4
+
+
+def test_flow_schedule_field_validation_and_roundtrip(tmp_path):
+    """flow_schedule persists with the experiment identity (like
+    input_scale) and rejects unknown schedules; old experiment.json files
+    without the field load with the 'full' default."""
+    import json
+
+    from crowded_scenes_ensemble_classification_tpu.core.config import (
+        ExperimentConfig,
+    )
+    from crowded_scenes_ensemble_classification_tpu.flow.farneback import (
+        TURBO_PARAMS,
+        flow_schedule_params,
+    )
+
+    cfg = ExperimentConfig(model_type="TWOSTREAM_I3D", flow_schedule="turbo")
+    p = str(tmp_path / "experiment.json")
+    cfg.save(p)
+    assert ExperimentConfig.load(p).flow_schedule == "turbo"
+    # naming is unchanged: the schedule is a runtime knob, not a new
+    # artifact-identity dimension
+    assert cfg.subfolder_name() == ExperimentConfig(
+        model_type="TWOSTREAM_I3D"
+    ).subfolder_name()
+
+    with pytest.raises(ValueError, match="flow_schedule"):
+        ExperimentConfig(flow_schedule="warp9")
+
+    # pre-knob experiment.json files (no flow_schedule key) still load
+    d = json.loads(cfg.to_json())
+    del d["flow_schedule"]
+    with open(p, "w") as f:
+        json.dump(d, f)
+    assert ExperimentConfig.load(p).flow_schedule == "full"
+
+    assert flow_schedule_params("full") is None
+    assert flow_schedule_params("turbo") == TURBO_PARAMS
+    with pytest.raises(ValueError):
+        flow_schedule_params("bogus")

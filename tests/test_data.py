@@ -583,3 +583,39 @@ def test_ragged_wire_rejects_crop_window_exceeding_out():
         jax.random.key(21), 2, 1, 2, (64, 64), (24, 24), crop_margin=40
     )
     assert plan.crop_hw == (24, 24)
+
+
+def test_prefetch_batches_early_exit_releases_producer(synth_root):
+    """A consumer that takes only the first batches (e.g. static-int8
+    calibration) must not leave the producer thread blocked on the full
+    queue for the process lifetime, pinning staged uint8 batches."""
+    import threading
+    import time
+
+    from crowded_scenes_ensemble_classification_tpu.data import prefetch_batches
+
+    _, df = synth_root
+    fold = df.rename(columns={"label": "class"})
+    spec = SampleSpec(num_frames=4, staging_hw=(16, 16))
+    pipe = BatchPipeline(fold, spec, batch_size=2, num_workers=2)
+    assert len(pipe) > 4  # enough batches that the producer WOULD block
+
+    before = threading.active_count()
+    taken = []
+    for batch in prefetch_batches(pipe, epoch=0):
+        taken.append(batch)
+        if len(taken) >= 2:
+            break
+    assert len(taken) == 2
+    # the generator's finally clause joins the producer on early exit;
+    # give lingering decode-pool threads a beat to retire
+    deadline = time.time() + 30
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, (
+        f"leaked threads: {[t.name for t in threading.enumerate()]}"
+    )
+
+    # the normal full-drain path still works after the fix
+    n_full = sum(1 for _ in prefetch_batches(pipe, epoch=1))
+    assert n_full == len(pipe)

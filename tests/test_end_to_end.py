@@ -286,3 +286,186 @@ def test_cache_probabilities_input_scale_and_long_video_variant(tmp_path):
         cfg, layout, 0, "test", bundle=bundle, staging_hw=(32, 32),
         long_video=True, window_stride=8, long_frames=40,
     ) == long_path
+
+
+def test_commands_runner_respects_recover(tmp_path):
+    """`launch --recover --runner commands` must emit commands for exactly
+    the PENDING members — an external-scheduler relaunch that re-queued
+    completed members would waste their full training time (reference
+    launch_train_ensemble.py:130-142 relied on single-train.sh skipping)."""
+    from crowded_scenes_ensemble_classification_tpu.core.config import (
+        split_pairs,
+    )
+    from crowded_scenes_ensemble_classification_tpu.orchestration import (
+        launch_ensemble_training,
+        prepare_ensemble,
+    )
+    from crowded_scenes_ensemble_classification_tpu.train.checkpoints import (
+        save_best,
+    )
+
+    df = generate_synthetic_dataset(
+        str(tmp_path / "data"), num_scenes=9, clips_per_scene=2,
+        num_classes=3, num_frames=8, hw=(24, 24), as_videos=False,
+    )
+    config = ExperimentConfig(
+        model_type="C3D", training_condition="_SCRATCH", folds_number=3,
+        num_classes=3, batch_size=4, epochs=1,
+    )
+    work = str(tmp_path / "work")
+    layout = prepare_ensemble(config, df, work)
+
+    pairs = split_pairs(3)
+    done, pending = pairs[:2], pairs[2:]
+    bundle = tiny_bundle()
+    for t, v in done:  # fabricate the complete (checkpoint, history) pair
+        save_best(layout.checkpoint_dir(config, t, v),
+                  bundle.init(jax.random.key(7)))
+        hp = layout.history_path(config, t, v)  # ends in .npy
+        os.makedirs(os.path.dirname(hp), exist_ok=True)
+        np.save(hp, np.array([1.0], np.float32))
+
+    cmds = launch_ensemble_training(
+        config, None, work, runner="commands", recover=True
+    )
+    assert len(cmds) == len(pending)
+    for (t, v), cmd in zip(pending, cmds):
+        assert f"--test-index {t} --val-index {v}" in cmd
+    for t, v in done:
+        assert not any(
+            f"--test-index {t} --val-index {v}" in c for c in cmds
+        ), (t, v)
+    # without recover, the commands runner still emits the full ensemble
+    assert len(
+        launch_ensemble_training(config, None, work, runner="commands")
+    ) == len(pairs)
+
+
+def test_flow_schedule_threads_into_probability_caching(tmp_path, monkeypatch):
+    """cache_probabilities derives the Farnebäck flow_params from
+    config.flow_schedule — members trained with turbo flow are evaluated
+    with turbo flow (same contract as input_scale)."""
+    from crowded_scenes_ensemble_classification_tpu import orchestration
+    from crowded_scenes_ensemble_classification_tpu.flow.farneback import (
+        TURBO_PARAMS,
+    )
+    from crowded_scenes_ensemble_classification_tpu.train.checkpoints import (
+        save_best,
+    )
+    import dataclasses
+    import pandas as pd
+
+    captured = {}
+
+    def fake_member_probabilities(bundle, variables, pipe, mesh=None,
+                                  input_scale=1.0, flow_params=None):
+        captured["flow_params"] = flow_params
+        n = len(pipe.df)
+        return np.full((len(variables), n, 3), 1 / 3, np.float32)
+
+    monkeypatch.setattr(
+        orchestration, "member_probabilities", fake_member_probabilities
+    )
+
+    work = str(tmp_path / "work")
+    cfg = ExperimentConfig(
+        model_type="C3D", folds_number=3, num_classes=3, batch_size=2,
+        flow_schedule="turbo",
+    )
+    layout = WorkLayout(work)
+    rng = np.random.default_rng(2)
+    clip_dir = tmp_path / "clips"
+    clip_dir.mkdir()
+    rows = []
+    for i in range(4):
+        p = str(clip_dir / f"c{i}.npy")
+        np.save(p, rng.integers(0, 255, (16, 24, 24, 3)).astype(np.uint8))
+        rows.append({"rgbclips_path": p, "x_axis_flowclips_path": "",
+                     "y_axis_flowclips_path": "", "class": i % 3})
+    csv_path = layout.split_csv(0, 1, "test")
+    os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+    bundle = tiny_bundle()
+    for v in (1, 2):
+        save_best(layout.checkpoint_dir(cfg, 0, v),
+                  bundle.init(jax.random.key(v)))
+
+    cache_probabilities(
+        cfg, layout, 0, "test", bundle=bundle, staging_hw=(24, 24),
+        num_workers=2,
+    )
+    assert captured["flow_params"] == TURBO_PARAMS
+
+    captured.clear()
+    cache_probabilities(
+        dataclasses.replace(cfg, flow_schedule="full"), layout, 0, "test",
+        bundle=bundle, staging_hw=(24, 24), num_workers=2, recompute=True,
+    )
+    assert captured["flow_params"] is None
+
+
+def test_fuse_1x1_threads_into_probability_caching(tmp_path, monkeypatch):
+    """cache_probabilities(fuse_1x1=True) builds I3D-family members with
+    the fused inception graph (exact rewrite, same checkpoints — see
+    models/i3d.py InceptionBlock) and ignores the knob for non-I3D
+    families, whose constructors don't accept it."""
+    from crowded_scenes_ensemble_classification_tpu import orchestration
+
+    built = {}
+    real_build = orchestration.build_model
+
+    def fake_build_model(model_type, num_classes, **kwargs):
+        built[model_type] = kwargs
+        # return a tiny real bundle so the rest of the plumbing works
+        return real_build("C3D", num_classes, width=8)
+
+    def fake_member_probabilities(bundle, variables, pipe, **kw):
+        return np.full((len(variables), len(pipe.df), 3), 1 / 3, np.float32)
+
+    def fake_member_variables(config, layout, bundle, t):
+        v = bundle.init(jax.random.key(0), batch_size=1)
+        return [v, v], ["m1", "m2"]
+
+    monkeypatch.setattr(orchestration, "build_model", fake_build_model)
+    monkeypatch.setattr(
+        orchestration, "member_probabilities", fake_member_probabilities
+    )
+    monkeypatch.setattr(
+        orchestration, "_member_variables", fake_member_variables
+    )
+
+    import pandas as pd
+
+    work = str(tmp_path / "work")
+    layout = WorkLayout(work)
+    rng = np.random.default_rng(3)
+    clip_dir = tmp_path / "clips"
+    clip_dir.mkdir()
+    rows = []
+    for i in range(2):
+        p = str(clip_dir / f"c{i}.npy")
+        np.save(p, rng.integers(0, 255, (16, 24, 24, 3)).astype(np.uint8))
+        rows.append({"rgbclips_path": p, "x_axis_flowclips_path": "",
+                     "y_axis_flowclips_path": "", "class": i % 3})
+    csv_path = layout.split_csv(0, 1, "test")
+    os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+
+    cfg = ExperimentConfig(
+        model_type="I3D", folds_number=3, num_classes=3, batch_size=2
+    )
+    cache_probabilities(
+        cfg, layout, 0, "test", staging_hw=(24, 24), num_workers=2,
+        fuse_1x1=True,
+    )
+    assert built["I3D"].get("fuse_1x1") is True
+
+    built.clear()
+    cfg_c3d = ExperimentConfig(
+        model_type="C3D", folds_number=3, num_classes=3, batch_size=2
+    )
+    cache_probabilities(
+        cfg_c3d, layout, 0, "test", staging_hw=(24, 24), num_workers=2,
+        fuse_1x1=True, recompute=True,
+    )
+    assert "fuse_1x1" not in built["C3D"]

@@ -54,7 +54,7 @@ def test_full_r3d18_keras_checkpoint_forward_matches_oracle(tmp_path):
     x = rng.uniform(0, 1, (1, 16, 112, 112, 3)).astype(np.float32)
     logits, softmax, oracle = _golden_chain(tmp_path, 18, x, seed=30)
     np.testing.assert_allclose(logits, oracle["logits"], atol=2e-5)
-    np.testing.assert_allclose(softmax, oracle["softmax"], atol=1e-4)
+    # 5e-6 observed; the BASELINE parity bar this gates is 1e-4
     np.testing.assert_allclose(softmax, oracle["softmax"], atol=5e-6)
 
 
@@ -68,7 +68,7 @@ def test_full_r3d50_keras_checkpoint_forward_matches_oracle(tmp_path):
     x = rng.uniform(0, 1, (1, 16, 64, 64, 3)).astype(np.float32)
     logits, softmax, oracle = _golden_chain(tmp_path, 50, x, seed=40)
     np.testing.assert_allclose(logits, oracle["logits"], atol=2e-5)
-    np.testing.assert_allclose(softmax, oracle["softmax"], atol=1e-4)
+    # 5e-6 observed; the BASELINE parity bar this gates is 1e-4
     np.testing.assert_allclose(softmax, oracle["softmax"], atol=5e-6)
 
 

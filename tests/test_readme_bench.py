@@ -60,3 +60,20 @@ def test_cli_check_mode_detects_staleness(tmp_path):
         text=True,
     )
     assert proc.returncode == 1, proc.stdout + proc.stderr
+
+
+def test_latest_bench_sorts_rounds_numerically(tmp_path):
+    """BENCH_r100 must beat BENCH_r99 — lexicographic sorting would pin a
+    stale round's numbers as the 'driver-verified' headline forever."""
+    import json
+
+    for n, v in ((2, 10.0), (100, 20.0), (99, 15.0)):
+        with open(tmp_path / f"BENCH_r{n:02d}.json", "w") as f:
+            json.dump({"parsed": {"value": v, "unit": "clips/s"}}, f)
+    name, artifact = readme_bench.latest_bench(repo=str(tmp_path))
+    assert name == "BENCH_r100.json"
+    assert artifact["parsed"]["value"] == 20.0
+    rows = readme_bench.history(repo=str(tmp_path))
+    assert [r[0] for r in rows] == [
+        "BENCH_r02.json", "BENCH_r99.json", "BENCH_r100.json"
+    ]
