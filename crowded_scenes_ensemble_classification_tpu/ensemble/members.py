@@ -64,17 +64,30 @@ def prepare_member_inputs(
                 * input_scale
             )
         else:
-            # flat-batch form — nested vmap halves flow throughput
+            # Gray pairs are first scaled to the reference's flow
+            # resolution (max-dim 224, train.py:304-307) so flow values
+            # come out in the reference's pixel units; flat-batch form —
+            # nested vmap halves flow throughput
             # (farneback.farneback_flow_batch)
-            from ..flow.farneback import FLOW_CHUNK_PAIRS, farneback_flow_batch
+            from ..flow.farneback import (
+                FLOW_CHUNK_PAIRS,
+                farneback_flow_batch,
+                reference_flow_hw,
+            )
 
             kw = dict(flow_params or {})
             kw.setdefault("fast_warp", flow_fast_warp)
             kw.setdefault("chunk_pairs", FLOW_CHUNK_PAIRS)
-            gray = batch["gray"].astype(jnp.float32)[..., 0]
-            gray_next = batch["gray_next"].astype(jnp.float32)[..., 0]
-            flows = farneback_flow_batch(gray, gray_next, **kw)
-            inputs["flow"] = identity_resize_batch(flows, out_hw)
+            gray4 = batch["gray"].astype(jnp.float32)
+            gray_next4 = batch["gray_next"].astype(jnp.float32)
+            flow_hw = reference_flow_hw(gray4.shape[2:4])
+            if flow_hw != tuple(gray4.shape[2:4]):
+                gray4 = identity_resize_batch(gray4, flow_hw)
+                gray_next4 = identity_resize_batch(gray_next4, flow_hw)
+            flows = farneback_flow_batch(gray4[..., 0], gray_next4[..., 0], **kw)
+            if flow_hw != tuple(out_hw):
+                flows = identity_resize_batch(flows, out_hw)
+            inputs["flow"] = flows
     return inputs
 
 

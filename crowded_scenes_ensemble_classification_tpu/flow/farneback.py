@@ -74,6 +74,29 @@ TURBO_PARAMS = dict(
 # throughput sweet spot (842 fields/s in-pipeline on v5e).
 FLOW_CHUNK_PAIRS = 80
 
+# The reference computes Farnebäck on frames scaled to max-dim 224 BEFORE
+# flow (opticalflow_FarneBack_extractor, train.py:302-318: scale =
+# 224/max(shape), applied to every frame; the flow fields are resized to
+# the model geometry afterwards with VALUES unchanged, train.py:236-238).
+FLOW_RESIZE_DIM = 224
+
+
+def reference_flow_hw(staging_hw) -> tuple:
+    """The resolution the reference computes Farnebäck at, for frames
+    staged at `staging_hw`: max-dim scaled to FLOW_RESIZE_DIM
+    (train.py:304-307).  Downscale-only: staged frames smaller than 224
+    are used as-is — the clip pipelines stage at (model + crop margin)
+    ≥ the model size, so production staging is always ≥ 224 and the
+    upscale branch of the reference's `scale = 224/max_dim` never runs
+    at a different resolution than this returns; tiny test geometries
+    keep their native size instead of paying a 224² solve."""
+    h, w = int(staging_hw[0]), int(staging_hw[1])
+    m = max(h, w)
+    if m <= FLOW_RESIZE_DIM:
+        return (h, w)
+    scale = FLOW_RESIZE_DIM / m
+    return (int(round(h * scale)), int(round(w * scale)))
+
 
 def flow_schedule_params(schedule: str):
     """ExperimentConfig.flow_schedule → the flow_params dict every

@@ -78,11 +78,18 @@ def _preprocess(
         else:
             # On-device Farneback from the staged gray frame pairs —
             # the FarneBack_onTheFly mode (train.py:223-239) with the cv2
-            # host loop replaced by the flow.farneback kernel.  Flow maps
-            # are resized spatially only (values in source-pixel units,
-            # like cv2.resize on flow frames at train.py:236-238); no
-            # input_scale (flow is not 0-255 imagery).
-            from ..flow.farneback import FLOW_CHUNK_PAIRS, farneback_flow_batch
+            # host loop replaced by the flow.farneback kernel.  The gray
+            # pairs are first scaled to the reference's flow resolution
+            # (max-dim 224, train.py:304-307) so flow VALUES come out in
+            # the same pixel units as the reference; the fields are then
+            # resized spatially only (values unchanged, like cv2.resize
+            # on flow frames at train.py:236-238); no input_scale (flow
+            # is not 0-255 imagery).
+            from ..flow.farneback import (
+                FLOW_CHUNK_PAIRS,
+                farneback_flow_batch,
+                reference_flow_hw,
+            )
 
             kw = dict(flow_params or {})
             kw.setdefault("fast_warp", flow_fast_warp)
@@ -95,12 +102,18 @@ def _preprocess(
                 gray4, gray_next4 = crowd11_augment_gray_pair_batch(
                     gray4, gray_next4, rng, p=p
                 )
+            flow_hw = reference_flow_hw(gray4.shape[2:4])
+            if flow_hw != tuple(gray4.shape[2:4]):
+                gray4 = identity_resize_batch(gray4, flow_hw)
+                gray_next4 = identity_resize_batch(gray_next4, flow_hw)
             gray = gray4[..., 0]
             gray_next = gray_next4[..., 0]
             # flat-batch form — nested vmap halves flow throughput
             # (farneback.farneback_flow_batch)
             flows = farneback_flow_batch(gray, gray_next, **kw)
-            out["flow"] = identity_resize_batch(flows, out_hw)
+            if flow_hw != tuple(out_hw):
+                flows = identity_resize_batch(flows, out_hw)
+            out["flow"] = flows
     return out
 
 

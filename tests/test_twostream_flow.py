@@ -213,3 +213,40 @@ def test_flow_from_augmented_e2e_drift(video_dataset, tmp_path):
     # the training-time flow semantics.  Quantify, and sanity-bound it.
     drift = float(np.mean(np.abs(probs[True] - probs[False])))
     assert 0.0 <= drift < 1.0
+
+
+def test_flow_computed_at_reference_scale():
+    """On-device Farnebäck from >224 staging runs at the reference's
+    max-dim-224 scale (opticalflow_FarneBack_extractor, train.py:304-307):
+    a 3 px shift at 240² staging must read ≈ 3·224/240 = 2.8 px in the
+    resized flow maps — 224-scale pixel units, NOT staging-pixel units
+    (the pre-fix behaviour computed flow at staging resolution, so the
+    same motion read ≈ 3.0 px)."""
+    from crowded_scenes_ensemble_classification_tpu.train.engine import _preprocess
+
+    h = w = 240
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+
+    def tex(x, y):
+        v = np.zeros_like(x)
+        for fx, fy, ph in [(0.031, 0.017, 0.3), (0.011, 0.041, 1.1), (0.023, 0.009, 2.0)]:
+            v += np.sin(2 * np.pi * (fx * x + fy * y) + ph)
+        return (v - v.min()) / (v.max() - v.min()) * 255.0
+
+    g0, g1, g2 = tex(xx, yy), tex(xx - 3.0, yy), tex(xx - 6.0, yy)
+    gray = np.stack([g0, g1])[None, ..., None].astype(np.float32)
+    gray_next = np.stack([g1, g2])[None, ..., None].astype(np.float32)
+    batch = {
+        "rgb": np.zeros((1, 2, h, w, 3), np.uint8),
+        "gray": jnp.asarray(gray),
+        "gray_next": jnp.asarray(gray_next),
+    }
+    out = _preprocess(
+        batch, jax.random.key(0), (224, 224), augment=False, p=0.75, two_stream=True
+    )
+    assert out["flow"].shape == (1, 2, 224, 224, 2)
+    u = np.asarray(out["flow"])[0, :, 16:-16, 16:-16, 0]
+    med = abs(float(np.median(u)))
+    want = 3.0 * 224.0 / 240.0  # 2.8
+    assert abs(med - want) < 0.2, med
+    assert abs(med - 3.0) > 0.1, med  # must NOT be staging-pixel units
