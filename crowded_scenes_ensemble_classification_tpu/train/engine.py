@@ -81,7 +81,10 @@ def _preprocess(
             # host loop replaced by the flow.farneback kernel.  The gray
             # pairs are first scaled to the reference's flow resolution
             # (max-dim 224, train.py:304-307) so flow VALUES come out in
-            # the same pixel units as the reference; the fields are then
+            # the reference's pixel-unit scale — exactly so per-axis only
+            # when staging preserved the source aspect ratio (square
+            # staging of non-square sources squashes anisotropically
+            # first; PARITY.md row); the fields are then
             # resized spatially only (values unchanged, like cv2.resize
             # on flow frames at train.py:236-238); no input_scale (flow
             # is not 0-255 imagery).
