@@ -319,6 +319,13 @@ def build_parser() -> argparse.ArgumentParser:
              "I3D_PRETRAINED SPECIALCASE_PRETRAINED (reference "
              "launch_evaluate_ensemble.sh:23)",
     )
+    p.add_argument(
+        "--assert-targets", metavar="JSON", default=None,
+        help="assert the measured mean accuracy against the published "
+             "ISPA-2021 slots in an ACCURACY_TARGETS.json (null slots "
+             "skip; non-null slots fail the command outside the "
+             "tolerance_pp bar — see ensemble/targets.py)",
+    )
 
     p = sub.add_parser("report", help="confusion/difference/agreement reports")
     _add_config_flags(p)
@@ -686,6 +693,18 @@ def main(argv=None) -> int:
             wpath = res.save_weights_npy(layout.results_dir)
             if wpath:
                 print(wpath)
+            if args.assert_targets:
+                from ..ensemble.targets import check_target, load_targets
+
+                chk = check_target(
+                    load_targets(args.assert_targets),
+                    config.subfolder_name(),
+                    res.mean_accuracy,
+                    per_fold=[f.accuracy for f in res.folds],
+                )
+                print(chk.message)
+                if chk.ok is False:
+                    return 1
         else:
             if args.models:
                 from ..orchestration import global_prob_providers
@@ -700,6 +719,17 @@ def main(argv=None) -> int:
                 res = global_evaluate_ensembles(providers, config.folds_number)
                 print(f"global mean accuracy: {res.mean_accuracy:.4f}")
                 print(save_global_predictions_csv(res, layout.results_dir))
+                if args.assert_targets:
+                    from ..ensemble.targets import check_target, load_targets
+
+                    chk = check_target(
+                        load_targets(args.assert_targets),
+                        "GLOBAL",
+                        res.mean_accuracy,
+                    )
+                    print(chk.message)
+                    if chk.ok is False:
+                        return 1
             else:
                 ranked = combine_ensembles(providers, config.folds_number)
                 for subset, acc in ranked:
