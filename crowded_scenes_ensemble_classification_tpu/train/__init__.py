@@ -23,7 +23,14 @@ from .engine import (  # noqa: F401
     make_wire_train_step,
     store_history,
 )
-from .state import TrainState, get_learning_rate, make_optimizer, set_learning_rate  # noqa: F401
+from .state import (  # noqa: F401
+    TrainState,
+    get_learning_rate,
+    keras_adam,
+    keras_sgd,
+    make_optimizer,
+    set_learning_rate,
+)
 from .multi_member import (  # noqa: F401
     make_multi_member_train_step,
     stack_states,
