@@ -319,6 +319,32 @@ def bgr_clip_to_i420(clip_u8: np.ndarray) -> np.ndarray:
     )
 
 
+def bgr_clips_to_i420_batch(clips_u8: np.ndarray) -> np.ndarray:
+    """u8 (B, T, H, W, 3) BGR → u8 (B, T·H·W·3/2) per-frame I420 rows,
+    BYTE-IDENTICAL to stacking `bgr_clip_to_i420` per clip but ~20·B×
+    fewer cv2 calls: ALL frames convert in ONE cvtColor on a vertically
+    stacked (B·T·H, W, 3) image.  Valid because H is even, so cv2's 2×2
+    chroma-subsample blocks never straddle a frame boundary; the single
+    call's plane-major output (all Y, all U, all V) is then reshuffled
+    to the per-frame [Y|U|V] layout the device decoder consumes
+    (`i420_to_bgr_u8`).  This is the pack the resident ingest runs
+    (once, at decode-cache build): ~0.13 s per 48 staged clips vs ~3 s
+    for the per-clip loop on the 1-core bench host."""
+    import cv2
+
+    B, T, H, W, _ = clips_u8.shape
+    if H % 2 or W % 2:
+        raise ValueError(f"I420 needs even frame dims, got {H}x{W}")
+    stacked = np.ascontiguousarray(clips_u8.reshape(B * T * H, W, 3))
+    buf = cv2.cvtColor(stacked, cv2.COLOR_BGR2YUV_I420).ravel()
+    n_y = B * T * H * W
+    n_c = n_y // 4
+    y = buf[:n_y].reshape(B, T, H * W)
+    u = buf[n_y : n_y + n_c].reshape(B, T, H * W // 4)
+    v = buf[n_y + n_c :].reshape(B, T, H * W // 4)
+    return np.concatenate([y, u, v], axis=-1).reshape(B, T * H * W * 3 // 2)
+
+
 def pack_ragged_windows(
     plan: WirePlan,
     step: int,

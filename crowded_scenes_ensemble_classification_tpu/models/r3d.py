@@ -133,6 +133,10 @@ class R3D(nn.Module):
     # quant=True runs every conv contraction in int8 on the MXU
     # (inference only; models.common.quant_conv_general).
     quant: bool = False
+    # width=1.0 is the exact reference topology; smaller values shrink every
+    # stage's channel count proportionally (CI/dryrun-scale models, like
+    # C3D.width — converted checkpoints require width=1.0).
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -141,13 +145,14 @@ class R3D(nn.Module):
         kind, repetitions = R3D_PRESETS[self.depth]
         block_cls = BasicBlock3D if kind == "basic" else BottleneckBlock3D
 
+        base = max(int(64 * self.width), 8)
         x = x.astype(self.dtype)
         # Stem: conv→bn→relu then same-pad maxpool (train.py:1483-1488).
-        x = _conv(64, (7, 7, 7), (2, 2, 2), dtype=self.dtype, name="conv1", quant=self.quant)(x)
+        x = _conv(base, (7, 7, 7), (2, 2, 2), dtype=self.dtype, name="conv1", quant=self.quant)(x)
         x = BNRelu(dtype=self.dtype, name="stem_bnrelu")(x, train)
         x = max_pool_3d(x, (3, 3, 3), (2, 2, 2), "SAME")
 
-        features = 64
+        features = base
         for stage, reps in enumerate(repetitions):
             for i in range(reps):
                 strides = (2, 2, 2) if (i == 0 and stage != 0) else (1, 1, 1)

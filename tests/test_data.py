@@ -298,6 +298,23 @@ def test_ragged_wire_nonsquare_staging():
         np.testing.assert_array_equal(got, want, err_msg=f"step {step}")
 
 
+def test_i420_batch_pack_byte_identical():
+    """wire_format.bgr_clips_to_i420_batch (ONE cvtColor for the whole
+    batch) is byte-identical to stacking the per-clip bgr_clip_to_i420
+    reference pack — including odd W (chroma blocks only need even H)."""
+    from crowded_scenes_ensemble_classification_tpu.data.wire_format import (
+        bgr_clip_to_i420,
+        bgr_clips_to_i420_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    for B, T, H, W in ((3, 4, 24, 32), (2, 5, 16, 16)):
+        clips = rng.integers(0, 256, (B, T, H, W, 3)).astype(np.uint8)
+        want = np.stack([bgr_clip_to_i420(c) for c in clips])
+        got = bgr_clips_to_i420_batch(clips)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_i420_device_inverse_matches_cv2():
     """wire_format.i420_to_bgr_u8 undoes cv2's I420 encoding the way cv2
     itself does (nearest chroma upsample + studio-swing BT.601): within
