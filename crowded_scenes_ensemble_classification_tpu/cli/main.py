@@ -284,6 +284,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "the first batches and pre-bakes int8 weights (the "
                         "fast path); caches at separate `…_int8`/"
                         "`…_int8static` npz paths")
+    p.add_argument("--quant-blocks", default=None,
+                   help="I3D family + --quant static: restrict int8 to "
+                        "named stem/Mixed_* sites.  'mixed' = the "
+                        "measured int8-where-it-wins policy "
+                        "(models.quantize.MIXED_INT8_POLICY); or a comma "
+                        "list, e.g. 'Conv3d_1a_7x7,Mixed_5b,Mixed_5c'. "
+                        "Caches at a policy-qualified npz path")
     p.add_argument("--fuse-1x1", action="store_true",
                    help="I3D family: run each inception block's three "
                         "block-input 1x1x1 convs as ONE conv (exact "
@@ -310,6 +317,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["dynamic", "static"],
                    help="consume (computing on miss) the quantized "
                         "probability caches — see `probs --quant`")
+    p.add_argument("--quant-blocks", default=None,
+                   help="int8 block policy for compute-on-miss — see "
+                        "`probs --quant-blocks`")
     p.add_argument("--fuse-1x1", action="store_true",
                    help="compute-on-miss with fused inception 1x1 convs "
                         "— see `probs --fuse-1x1`")
@@ -643,6 +653,7 @@ def main(argv=None) -> int:
                 long_frames=args.long_frames,
                 recompute=args.recompute,
                 quant=args.quant,
+                quant_blocks=args.quant_blocks,
                 fuse_1x1=args.fuse_1x1,
             )
             print(path)
@@ -674,6 +685,8 @@ def main(argv=None) -> int:
             )
         if args.quant:
             provider_kwargs["quant"] = args.quant
+            if args.quant_blocks:
+                provider_kwargs["quant_blocks"] = args.quant_blocks
         if args.fuse_1x1:
             provider_kwargs["fuse_1x1"] = True
         provider = make_prob_provider(config, layout, **provider_kwargs)

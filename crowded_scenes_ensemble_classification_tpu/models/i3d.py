@@ -202,6 +202,15 @@ class I3DTrunk(nn.Module):
     # per-tensor activation scales — inference only, identical parameter
     # tree (models.common.quant_conv_general).
     quant: bool = False
+    # quant_blocks=None applies `quant` everywhere; a tuple of site names
+    # (stem convs "Conv3d_1a_7x7"/"Conv3d_2b_1x1"/"Conv3d_2c_3x3" and the
+    # 9 "Mixed_*" blocks) restricts int8 to those sites and keeps the
+    # rest bf16 — the MIXED policy (VERDICT r4 item 4): XLA only issues
+    # int8 MXU ops for the large-channel blocks; small-channel branch
+    # convs stay conversion-bound and lose to bf16.  Calibrate with the
+    # SAME quant_blocks so qstats exist exactly where the static path
+    # reads them.
+    quant_blocks: Optional[Tuple[str, ...]] = None
     # fuse_1x1=True fuses each block's three input 1×1×1 convs into ONE
     # conv (exact rewrite, same checkpoints — see InceptionBlock).
     fuse_1x1: bool = False
@@ -212,10 +221,18 @@ class I3DTrunk(nn.Module):
             # remat is a training feature; the quantized path is
             # inference-only and the remat block ctor bypasses the partial
             raise ValueError("quant=True is incompatible with remat=True")
-        base_cls = functools.partial(
-            InceptionBlock,
+
+        def site_quant(name: str):
+            if self.quant_blocks is None or name in self.quant_blocks:
+                return self.quant
+            return False
+
+        base_cls = lambda spec, dtype, name: InceptionBlock(
+            spec,
+            dtype=dtype,
+            name=name,
             pool_impl=self.pool_impl,
-            quant=self.quant,
+            quant=site_quant(name),
             fuse_1x1=self.fuse_1x1,
         )
         block_cls = (
@@ -231,17 +248,18 @@ class I3DTrunk(nn.Module):
         use_pallas_stem = self.stem_impl == "pallas" and not train
         if self.stem_prestaged:
             x = PrestagedS2DStemConvBN(
-                64, dtype=self.dtype, quant=self.quant, name="Conv3d_1a_7x7"
+                64, dtype=self.dtype, quant=site_quant("Conv3d_1a_7x7"),
+                name="Conv3d_1a_7x7",
             )(x, train)
         elif use_pallas_stem:
             x = PallasStemConvBN(64, dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
         elif self.s2d_stem:
             x = S2DStemConvBN(64, dtype=self.dtype, name="Conv3d_1a_7x7")(x, train)
         else:
-            x = ConvBN(64, (7, 7, 7), strides=(2, 2, 2), dtype=self.dtype, quant=self.quant, name="Conv3d_1a_7x7")(x, train)
+            x = ConvBN(64, (7, 7, 7), strides=(2, 2, 2), dtype=self.dtype, quant=site_quant("Conv3d_1a_7x7"), name="Conv3d_1a_7x7")(x, train)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), "SAME")
-        x = ConvBN(64, (1, 1, 1), dtype=self.dtype, quant=self.quant, name="Conv3d_2b_1x1")(x, train)
-        x = ConvBN(192, (3, 3, 3), dtype=self.dtype, quant=self.quant, name="Conv3d_2c_3x3")(x, train)
+        x = ConvBN(64, (1, 1, 1), dtype=self.dtype, quant=site_quant("Conv3d_2b_1x1"), name="Conv3d_2b_1x1")(x, train)
+        x = ConvBN(192, (3, 3, 3), dtype=self.dtype, quant=site_quant("Conv3d_2c_3x3"), name="Conv3d_2c_3x3")(x, train)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), "SAME")
 
         for name in ("Mixed_3b", "Mixed_3c"):
@@ -275,6 +293,9 @@ class I3D(nn.Module):
     stem_impl: str = "auto"
     stem_prestaged: bool = False
     quant: bool = False  # int8 conv contractions (inference only)
+    # restrict int8 to these stem/Mixed_* sites (None = everywhere); see
+    # I3DTrunk.quant_blocks
+    quant_blocks: Optional[Tuple[str, ...]] = None
     fuse_1x1: bool = False  # fused block-input 1×1 convs (exact rewrite)
 
     @nn.compact
@@ -287,6 +308,7 @@ class I3D(nn.Module):
             stem_impl=self.stem_impl,
             stem_prestaged=self.stem_prestaged,
             quant=self.quant,
+            quant_blocks=self.quant_blocks,
             fuse_1x1=self.fuse_1x1,
             name="trunk",
         )(x, train)

@@ -27,11 +27,46 @@ top-1 agreement on a realistic reference-layout checkpoint).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable
+from typing import Any, Dict, Iterable, Optional, Tuple
 
 import jax.numpy as jnp
 
 from .common import weight_qparams
+
+# The MIXED int8/bf16 block policy for the I3D family (VERDICT r4 item 4):
+# int8 only at the sites where XLA issues int8 MXU contractions that beat
+# bf16 — the three stem convs (large spatial extents) and the four
+# largest-channel inception blocks (480-832 input channels).  The early
+# Mixed_3b/3c/4b-4e blocks are dominated by small-channel branch convs
+# whose quantize/dequantize passes cost more HBM traffic than the int8
+# contraction saves (round-4 measurement: whole-model static int8 = only
+# 1.15x bf16 on the member forward).  Per-site A/B:
+# `python tools/perf_probe_quant.py --ab` (results in NEXT.md).
+MIXED_INT8_POLICY: Tuple[str, ...] = (
+    "Conv3d_1a_7x7",
+    "Conv3d_2b_1x1",
+    "Conv3d_2c_3x3",
+    "Mixed_4f",
+    "Mixed_5b",
+    "Mixed_5c",
+)
+
+
+def resolve_quant_blocks(spec) -> Optional[Tuple[str, ...]]:
+    """Normalize a quant-block policy: None → None (quantize everywhere),
+    'mixed' → MIXED_INT8_POLICY, 'all' → None, a comma string or iterable
+    of site names → sorted tuple.  Site names are the I3D stem convs
+    ('Conv3d_1a_7x7', 'Conv3d_2b_1x1', 'Conv3d_2c_3x3') and the nine
+    'Mixed_*' blocks (models/i3d.py I3DTrunk.quant_blocks)."""
+    if spec is None:
+        return None
+    if isinstance(spec, str):
+        if spec == "mixed":
+            return MIXED_INT8_POLICY
+        if spec == "all":
+            return None
+        spec = [s.strip() for s in spec.split(",") if s.strip()]
+    return tuple(sorted(spec))
 
 
 def calibrate(module, variables: Dict, batches: Iterable, **apply_kwargs) -> Dict:

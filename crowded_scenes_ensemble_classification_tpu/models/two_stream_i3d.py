@@ -16,7 +16,7 @@ and `weights_io` conversion respectively.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -35,6 +35,9 @@ class TwoStreamI3D(nn.Module):
     # stem staging over the whole ensemble (models.common.s2d_stem_stage).
     stem_prestaged: bool = False
     quant: bool = False  # int8 conv contractions in both trunks (inference only)
+    # restrict int8 to these stem/Mixed_* sites in BOTH trunks (None =
+    # everywhere); see I3DTrunk.quant_blocks
+    quant_blocks: Optional[Tuple[str, ...]] = None
     fuse_1x1: bool = False  # fused block-input 1×1 convs (exact rewrite)
 
     @nn.compact
@@ -47,6 +50,7 @@ class TwoStreamI3D(nn.Module):
             dtype=self.dtype,
             stem_prestaged=self.stem_prestaged,
             quant=self.quant,
+            quant_blocks=self.quant_blocks,
             fuse_1x1=self.fuse_1x1,
         )
         x_rgb = trunk(name="rgb_trunk")(rgb, train)

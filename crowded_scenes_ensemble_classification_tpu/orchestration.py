@@ -624,6 +624,7 @@ def cache_probabilities(
     long_frames: Optional[int] = None,
     input_scale: Optional[float] = None,
     quant: bool = False,
+    quant_blocks=None,
     fuse_1x1: bool = False,
 ) -> str:
     """(M, N, C) member probabilities for one test fold → npz cache
@@ -654,6 +655,14 @@ def cache_probabilities(
     quantized request (or vice versa).  Ignored when an explicit
     `bundle` is supplied.
 
+    quant_blocks (I3D family + quant='static' only) restricts int8 to the
+    named stem/Mixed_* sites: 'mixed' selects the measured
+    models.quantize.MIXED_INT8_POLICY (int8 where it beats bf16, bf16
+    elsewhere), a comma list selects custom sites.  Calibration records
+    qstats at exactly those sites; the cache path gains a policy
+    qualifier (`_int8static-mixed` / `-c<n>`) so differently-quantized
+    caches never alias.
+
     fuse_1x1=True (I3D family only) runs member inference with each
     inception block's three block-input 1×1×1 convs fused into ONE conv
     (models/i3d.py InceptionBlock — exact rewrite, same checkpoints;
@@ -669,6 +678,16 @@ def cache_probabilities(
     model_kwargs = {}
     if fuse_1x1 and "I3D" in config.model_type:
         model_kwargs["fuse_1x1"] = True
+    if quant_blocks is not None:
+        from .models.quantize import MIXED_INT8_POLICY, resolve_quant_blocks
+
+        if "I3D" not in config.model_type:
+            raise ValueError("quant_blocks is an I3D-family policy")
+        if quant != "static":
+            raise ValueError("quant_blocks requires quant='static'")
+        resolved = resolve_quant_blocks(quant_blocks)
+        if resolved is not None:
+            model_kwargs["quant_blocks"] = resolved
     bundle = bundle or build_model(
         config.model_type, config.num_classes, quant=quant, **model_kwargs
     )
@@ -681,6 +700,16 @@ def cache_probabilities(
         variant = f"_long{long_frames}s{window_stride}"
     if quant:
         variant += "_int8static" if quant == "static" else "_int8"
+        policy = model_kwargs.get("quant_blocks")
+        if policy is not None:
+            from .models.quantize import MIXED_INT8_POLICY
+
+            if policy == tuple(sorted(MIXED_INT8_POLICY)):
+                variant += "-mixed"
+            else:
+                # stable across processes (hash() is seed-salted)
+                digest = zlib.crc32(",".join(policy).encode()) % 0xFFFF
+                variant += f"-c{len(policy)}x{digest:04x}"
     path = probability_cache_path(
         layout.probs_dir, config.subfolder_name(), t, subset, variant=variant
     )
@@ -730,8 +759,14 @@ def cache_probabilities(
         # on a standard-window pipeline over the same subset.
         from .ensemble.members import calibrate_members
 
+        # calibrate with the SAME block policy so qstats exist exactly
+        # where the static path reads them (models/i3d.py site_quant)
         calib_bundle = build_model(
-            config.model_type, config.num_classes, quant="calib"
+            config.model_type, config.num_classes, quant="calib",
+            **{
+                k: v for k, v in model_kwargs.items()
+                if k in ("quant_blocks", "fuse_1x1")
+            },
         )
         calib_pipe = pipe
         if long_video:

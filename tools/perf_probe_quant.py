@@ -29,6 +29,15 @@ def main():
     ap.add_argument("--modes", default="bf16,static,dynamic")
     ap.add_argument("--fuse", action="store_true",
                     help="fuse_1x1=True inception blocks (exact rewrite)")
+    ap.add_argument("--quant-blocks", default=None,
+                    help="block policy for the static mode: 'mixed' "
+                         "(models.quantize.MIXED_INT8_POLICY) or a comma "
+                         "list of stem/Mixed_* sites")
+    ap.add_argument("--ab", action="store_true",
+                    help="per-site A/B (VERDICT r4 item 4): time bf16, "
+                         "all-int8, the mixed policy, and static-int8 at "
+                         "each single site alone — the per-block win/loss "
+                         "table that justifies MIXED_INT8_POLICY")
     args = ap.parse_args()
 
     from crowded_scenes_ensemble_classification_tpu.ensemble.members import (
@@ -46,11 +55,20 @@ def main():
         )
     )(jax.random.key(3))
 
-    def bench_mode(mode):
+    from crowded_scenes_ensemble_classification_tpu.models.quantize import (
+        resolve_quant_blocks,
+    )
+
+    def bench_mode(mode, quant_blocks=None, tag=""):
         quant = {"bf16": False, "static": "static", "dynamic": True}[mode]
         bundle = build_model(
             "I3D", num_classes=11, dtype=jnp.bfloat16, quant=quant,
             fuse_1x1=args.fuse,
+            **(
+                {"quant_blocks": resolve_quant_blocks(quant_blocks)}
+                if quant_blocks is not None
+                else {}
+            ),
         )
         prestaged = bundle.module.clone(stem_prestaged=True)
         dummy_xs = s2d_stem_stage(jnp.zeros((1, T, S, S, 3), jnp.bfloat16))
@@ -86,10 +104,12 @@ def main():
             )
             return carry + jnp.sum(jnp.einsum("mbc->bc", probs))
 
-        for name, fn, fargs in [
-            (f"{mode} 1-member", member_fwd, (v,)),
-            (f"{mode} {args.members}-member", ensemble_fwd, (stacked,)),
-        ]:
+        timed = [(f"{mode}{tag} 1-member", member_fwd, (v,))]
+        if not args.ab:  # per-site sweep times the member forward only
+            timed.append(
+                (f"{mode}{tag} {args.members}-member", ensemble_fwd, (stacked,))
+            )
+        for name, fn, fargs in timed:
             jfn = jax.jit(fn)
             t0 = time.perf_counter()
             _ = float(jfn(*fargs, x, jnp.float32(0)))
@@ -107,8 +127,26 @@ def main():
                 flush=True,
             )
 
+    if args.ab:
+        # per-block win/loss table: bf16 floor, all-int8 / mixed-policy
+        # composites, then int8 at ONE site at a time (marginal value of
+        # quantizing that site; everything else stays bf16)
+        bench_mode("bf16")
+        bench_mode("static", tag=":all")
+        bench_mode("static", quant_blocks="mixed", tag=":mixed")
+        for site in (
+            "Conv3d_1a_7x7", "Conv3d_2b_1x1", "Conv3d_2c_3x3",
+            "Mixed_3b", "Mixed_3c", "Mixed_4b", "Mixed_4c", "Mixed_4d",
+            "Mixed_4e", "Mixed_4f", "Mixed_5b", "Mixed_5c",
+        ):
+            bench_mode("static", quant_blocks=site, tag=f":only-{site}")
+        return
+
     for mode in args.modes.split(","):
-        bench_mode(mode)
+        bench_mode(
+            mode,
+            quant_blocks=(args.quant_blocks if mode == "static" else None),
+        )
 
 
 if __name__ == "__main__":
