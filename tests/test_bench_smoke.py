@@ -22,25 +22,55 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 import pytest
 
 
-@pytest.mark.parametrize("ingest", ["resident", "wire"])
+@pytest.mark.parametrize("ingest", ["resident", "wire", "resident-ts"])
 def test_bench_driver_contract_smoke(ingest):
+    """resident/wire drive the two headline ingest paths; resident-ts
+    additionally drives the TwoStream resident e2e section (round-5
+    _ts_e2e: overlapped i420 upload + on-device flow + 2-trunk forward)
+    with every other breakout gated off."""
+    ts_section = ingest == "resident-ts"
+    if ts_section:
+        ingest = "resident"
     env = dict(
         os.environ,
         BENCH_FORCE_CPU="1",
         BENCH_BATCH="2",
         BENCH_CACHE_BATCHES="2",
-        BENCH_EPOCHS="1",
+        BENCH_EPOCHS="1" if not ts_section else "2",
         BENCH_DEVICE_ITERS="1",
         BENCH_INGEST=ingest,
     )
     env.pop("BENCH_TWOSTREAM_E2E", None)
-    if ingest == "wire":
+    if ts_section:
+        env.update(
+            BENCH_FLOW="0",
+            BENCH_HETERO="0",
+            BENCH_TRAIN_RATES="0",
+            BENCH_INT8="0",
+            BENCH_SERVING="0",
+            BENCH_TWOSTREAM_E2E="1",
+        )
+    elif ingest == "wire":
         # exercise the budget-aware section runner: an exhausted budget
         # must SKIP every default section with a marker, never hang or
         # kill the primary line (round-4 five-config sections)
         env["BENCH_BUDGET_S"] = "1"
     else:
-        env["BENCH_SKIP_BREAKOUTS"] = "1"
+        # resident: every default section off.  The int8 section is
+        # covered structurally by the wire run's budget-skip marker and
+        # numerically by tests/test_quant.py (model level) + the real-TPU
+        # bench — XLA CPU lowers 224² int8 convs ~100× slower than bf16
+        # (measured ~100 s/step at B=2), so running it here would blow
+        # the subprocess timeout without testing anything the TPU run
+        # doesn't.
+        env.update(
+            BENCH_FLOW="0",
+            BENCH_HETERO="0",
+            BENCH_INT8="0",
+            BENCH_TRAIN_RATES="0",
+            BENCH_SERVING="0",
+            BENCH_TWOSTREAM_E2E="0",
+        )
     # the conftest's platform pin must not leak into the subprocess
     env.pop("JAX_PLATFORMS", None)
     proc = subprocess.run(
@@ -71,16 +101,24 @@ def test_bench_driver_contract_smoke(ingest):
     assert results["wire_colorspace"] == "yuv420"
     if ingest == "wire":
         # every default section budget-skipped with a marker
-        for sec in ("flow", "twostream_e2e", "hetero", "train_rates"):
+        for sec in (
+            "int8", "flow", "twostream_e2e", "hetero", "train_rates", "serving",
+        ):
             assert "budget" in results[f"{sec}_skipped"], (sec, results)
     if ingest == "resident":
         assert results["ingest"] == "resident"
         assert results["resident_upload_s"] >= 0
         # full 256² staging frames as i420: 20·256²·1.5 B ≈ 1.97 MB/clip
         assert results["wire_mb_per_clip"] < 2.1
+        assert results["epoch0_overlapped_steps"] == 2  # all of epoch 0
     else:
         # ragged crop-window wire: strictly below the full-staging size
         assert results["wire_mb_per_clip"] < 1.6
+    if ts_section:
+        assert results["twostream_e2e_clips_per_sec"] > 0, results
+        assert results["twostream_e2e_steady_state_clips_per_sec"] > 0
+        assert results["twostream_e2e_bound_clips_per_sec"] > 0
+        assert results["twostream_e2e_epochs"] == 2
 
 
 def test_bench_crash_still_prints_one_json_line():
