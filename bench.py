@@ -640,11 +640,16 @@ def _train_rates_breakout(results: dict):
     rng = np.random.default_rng(9)
     fams = [
         ("c3d", "C3D", int(os.environ.get("BENCH_TRAIN_BATCH_C3D", "32"))),
-        ("i3d", "I3D", int(os.environ.get("BENCH_TRAIN_BATCH_I3D", "16"))),
+        # I3D batch from the round-5 probe sweep (tools/perf_probe_train.py):
+        # 142.7/166.3/171.1/178.9/174.2 clips/s at B=16/32/48/64/96 —
+        # B=64 is the measured sweet spot (remat loses at every batch)
+        ("i3d", "I3D", int(os.environ.get("BENCH_TRAIN_BATCH_I3D", "64"))),
         (
             "twostream",
             "TWOSTREAM_I3D",
-            int(os.environ.get("BENCH_TRAIN_BATCH_TS", "8")),
+            # B=16 measured 59.9 clips/s vs 49.1 at B=8 (round-3 on-chip
+            # flow-inclusive train probe, NEXT.md)
+            int(os.environ.get("BENCH_TRAIN_BATCH_TS", "16")),
         ),
         ("r3d18", "R3D_18", int(os.environ.get("BENCH_TRAIN_BATCH_R3D", "32"))),
     ]

@@ -182,6 +182,14 @@ class I3DTrunk(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # remat_blocks: selective rematerialization — checkpoint ONLY the
+    # named Mixed_* blocks (remat=True remats all nine).  The round-5
+    # probe showed whole-trunk remat LOSES at every batch (recompute
+    # FLOPs outweigh the memory win) while the backward's per-FLOP rate
+    # degrades with batch (bwd/fwd 1.17→1.65 from B=32→96, HBM-pressure
+    # shaped); rematting just the big-activation/cheap-FLOP early blocks
+    # (Mixed_3b/3c at 56² × ≤480 ch) is the targeted version.
+    remat_blocks: Optional[Tuple[str, ...]] = None
     # s2d_stem=True rewrites the 7³/2 stem as a space-to-depth conv —
     # bit-identical math (models.common.s2d_stem_conv); measured neutral on
     # v5e (XLA already tiles the stem well) — kept as an option.
@@ -217,33 +225,33 @@ class I3DTrunk(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        if self.quant and self.remat:
+        if self.quant and (self.remat or self.remat_blocks):
             # remat is a training feature; the quantized path is
             # inference-only and the remat block ctor bypasses the partial
-            raise ValueError("quant=True is incompatible with remat=True")
+            raise ValueError("quant=True is incompatible with remat")
 
         def site_quant(name: str):
             if self.quant_blocks is None or name in self.quant_blocks:
                 return self.quant
             return False
 
-        base_cls = lambda spec, dtype, name: InceptionBlock(
-            spec,
-            dtype=dtype,
-            name=name,
-            pool_impl=self.pool_impl,
-            quant=site_quant(name),
-            fuse_1x1=self.fuse_1x1,
-        )
-        block_cls = (
-            functools.partial(
-                nn.remat(InceptionBlock, static_argnums=(2,)),
+        def block_cls(spec, dtype, name):
+            if self.remat or (
+                self.remat_blocks is not None and name in self.remat_blocks
+            ):
+                return functools.partial(
+                    nn.remat(InceptionBlock, static_argnums=(2,)),
+                    pool_impl=self.pool_impl,
+                    fuse_1x1=self.fuse_1x1,
+                )(spec, dtype=dtype, name=name)
+            return InceptionBlock(
+                spec,
+                dtype=dtype,
+                name=name,
                 pool_impl=self.pool_impl,
+                quant=site_quant(name),
                 fuse_1x1=self.fuse_1x1,
             )
-            if self.remat
-            else base_cls
-        )
         x = x.astype(self.dtype)
         use_pallas_stem = self.stem_impl == "pallas" and not train
         if self.stem_prestaged:
@@ -288,6 +296,8 @@ class I3D(nn.Module):
     num_classes: int = 11
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # selective remat of named Mixed_* blocks — see I3DTrunk.remat_blocks
+    remat_blocks: Optional[Tuple[str, ...]] = None
     s2d_stem: bool = False
     pool_impl: str = "auto"
     stem_impl: str = "auto"
@@ -303,6 +313,7 @@ class I3D(nn.Module):
         x = I3DTrunk(
             dtype=self.dtype,
             remat=self.remat,
+            remat_blocks=self.remat_blocks,
             s2d_stem=self.s2d_stem,
             pool_impl=self.pool_impl,
             stem_impl=self.stem_impl,

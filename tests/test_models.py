@@ -297,3 +297,45 @@ def test_inception_fuse_1x1_exact():
         np.asarray(fb.apply(vb, xb, train=False)),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_remat_blocks_bit_parity():
+    """Selective remat (I3DTrunk.remat_blocks — round-5 train-step
+    campaign) is a pure rescheduling hint: forward logits AND parameter
+    gradients are bit-identical to the plain model, and the param tree
+    is unchanged so checkpoints load across remat policies.  Guards the
+    per-site block_cls chooser (a wrong ctor arg there would silently
+    re-init differently-shaped branches)."""
+    x = jnp.asarray(
+        np.random.default_rng(0)
+        .uniform(0, 255, (2, 16, 32, 32, 3))
+        .astype(np.float32)
+    )
+    plain = build_model("I3D", num_classes=5)
+    sel = build_model(
+        "I3D", num_classes=5, remat_blocks=("Mixed_3b", "Mixed_3c")
+    )
+    v = plain.module.init(jax.random.key(0), x, train=False)
+
+    def loss(mod):
+        def f(p):
+            out, _ = mod.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                x,
+                train=True,
+                rngs={"dropout": jax.random.key(1)},
+                mutable=["batch_stats"],
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        return f
+
+    g1 = jax.jit(jax.grad(loss(plain.module)))(v["params"])
+    g2 = jax.jit(jax.grad(loss(sel.module)))(v["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        g1, g2,
+    )
+    assert jax.tree_util.tree_structure(
+        sel.module.init(jax.random.key(0), x, train=False)["params"]
+    ) == jax.tree_util.tree_structure(v["params"])

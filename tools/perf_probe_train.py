@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="also time the full step with remat inception "
                          "blocks (memory-for-FLOPs; lets larger batches fit)")
+    ap.add_argument("--remat-blocks", default=None,
+                    help="also time the full step with SELECTIVE remat of "
+                         "these comma-separated Mixed_* blocks (I3D family)")
     args = ap.parse_args()
 
     import jax
@@ -207,6 +210,20 @@ def main():
                 rbundle, tx, hw, augment=True, input_scale=1.0, flow_params=fp
             )
             timed_steps(full_r, fresh_state(), rc, b, "full step (remat)")
+        if args.remat_blocks and "I3D" in mt:
+            blocks = tuple(
+                s.strip() for s in args.remat_blocks.split(",") if s.strip()
+            )
+            sbundle = build_model(
+                mt, num_classes=11, dtype=jnp.bfloat16, remat_blocks=blocks
+            )
+            full_s = make_resident_train_step(
+                sbundle, tx, hw, augment=True, input_scale=1.0, flow_params=fp
+            )
+            timed_steps(
+                full_s, fresh_state(), rc, b,
+                f"full step (remat:{len(blocks)})",
+            )
         if r_full and r_na and r_fwd and r_fwdt:
             ms = lambda r: 1e3 * b / r
             print(
