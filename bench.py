@@ -752,7 +752,16 @@ def _serving_breakout(results: dict, eval_reader):
         serving_batch_example,
     )
 
-    b = int(os.environ.get("BENCH_SERVING_BATCH", "32"))
+    # Serve at the pipeline's batch with the pipeline's graph: the
+    # artifact shares the s2d stem staging across members exactly like
+    # member_probabilities does (an unshared export pays 4 stem
+    # stagings — measured ~35% of serving throughput at B=32 in the
+    # first round-5 run), and the in-section jit reference times the
+    # IDENTICAL make_member_forward graph compiled directly so
+    # serving_vs_jit states the artifact's true overhead at equal
+    # batch/graph.
+    b = int(os.environ.get("BENCH_SERVING_BATCH", str(BATCH)))
+    b = min(b, len(eval_reader))
     bundle = build_model(
         "I3D", num_classes=11, dtype=jnp.bfloat16, fuse_1x1=FUSE_1X1
     )
@@ -766,7 +775,7 @@ def _serving_breakout(results: dict, eval_reader):
     example = serving_batch_example(bundle, b)
     blob = export_ensemble(
         bundle, variables, example, input_scale=1.0, bake_params=False,
-        platforms=(jax.default_backend(),),
+        platforms=(jax.default_backend(),), share_stem_staging=True,
     )
     results["serving_artifact_mb"] = round(len(blob) / 1e6, 2)
     exp = jax.export.deserialize(blob)
@@ -777,18 +786,37 @@ def _serving_breakout(results: dict, eval_reader):
     batches = [
         jax.device_put({"rgb": clips[i : i + b]}) for i in range(0, n - b + 1, b)
     ]
-    out = exp.call(stacked, batches[0])  # compile
-    _ = float(jnp.sum(out["fused"]))
-    t0 = time.perf_counter()
-    acc = jnp.float32(0)
-    iters = 3
-    for _i in range(iters):
-        for bt in batches:
-            acc = acc + jnp.sum(exp.call(stacked, bt)["fused"])
-    _ = float(acc)  # chain-sync
-    results["serving_clips_per_sec"] = round(
-        b * len(batches) * iters / (time.perf_counter() - t0), 2
+
+    def timed(call) -> float:
+        _ = float(jnp.sum(call(batches[0])["fused"]))  # compile
+        t0 = time.perf_counter()
+        acc = jnp.float32(0)
+        iters = 3
+        for _i in range(iters):
+            for bt in batches:
+                acc = acc + jnp.sum(call(bt)["fused"])
+        _ = float(acc)  # chain-sync
+        return b * len(batches) * iters / (time.perf_counter() - t0)
+
+    serving_cps = timed(lambda bt: exp.call(stacked, bt))
+    results["serving_clips_per_sec"] = round(serving_cps, 2)
+
+    from crowded_scenes_ensemble_classification_tpu.ensemble.members import (
+        make_member_forward,
     )
+
+    fwd = make_member_forward(
+        bundle, (SIZE, SIZE), share_stem_staging=True, input_scale=1.0
+    )
+
+    @jax.jit
+    def jit_ref(sv, batch):
+        probs = fwd(sv, batch)
+        return {"fused": jnp.einsum("mbc->bc", probs)}
+
+    jit_cps = timed(lambda bt: jit_ref(stacked, bt))
+    results["serving_jit_ref_clips_per_sec"] = round(jit_cps, 2)
+    results["serving_vs_jit"] = round(serving_cps / jit_cps, 3)
 
 
 def _arm_global_watchdog(finished: threading.Event):
@@ -1390,15 +1418,22 @@ def main():
                 )
 
     def _int8_breakout(res: dict):
-        # Static-int8 device pipeline rate with the MIXED block policy
-        # (VERDICT r4 item 4: the int8 rate belongs in the driver
-        # artifact).  Same jit region as the headline device rate —
-        # resident i420 decode + full augment + 4-member prestaged I3D +
-        # fusion — with int8 MXU contractions at the
-        # models.quantize.MIXED_INT8_POLICY sites and bf16 elsewhere.
-        # qstats are fabricated (throughput is scale-independent;
-        # accuracy of the static path is CPU-gated in tests/test_quant.py
-        # — same convention as tools/perf_probe_quant.py).
+        # Static-int8 device pipeline rate (VERDICT r4 item 4: the int8
+        # rate belongs in the driver artifact).  Same jit region as the
+        # headline device rate — resident i420 decode + full augment +
+        # 4-member prestaged I3D + fusion — with int8 MXU contractions.
+        # Policy = ALL blocks: the round-5 per-site A/B
+        # (tools/perf_probe_quant --ab, table in NEXT.md) measured
+        # whole-model static int8 at 94.46 ms/member vs 101.33 for the
+        # mixed Mixed_4f/5b/5c+stem policy and 109.63 bf16 — per-site
+        # marginals are NON-additive (most single sites LOSE by paying
+        # bf16↔int8 boundary conversions XLA can only fuse away when
+        # neighbours are quantized too), so the whole model is the
+        # fastest static policy.  BENCH_INT8_POLICY overrides (e.g.
+        # 'mixed' or a comma site list).  qstats are fabricated
+        # (throughput is scale-independent; accuracy of the static path
+        # is CPU-gated in tests/test_quant.py — same convention as
+        # tools/perf_probe_quant.py).
         if INGEST != "resident":
             res["int8_note"] = "resident ingest only"
             return
@@ -1407,9 +1442,15 @@ def main():
             resolve_quant_blocks,
         )
 
+        policy = os.environ.get("BENCH_INT8_POLICY", "all")
+        qkw = (
+            {}
+            if policy == "all"
+            else {"quant_blocks": resolve_quant_blocks(policy)}
+        )
         qbundle = build_model(
             "I3D", num_classes=11, dtype=jnp.bfloat16, quant="static",
-            quant_blocks=resolve_quant_blocks("mixed"), fuse_1x1=FUSE_1X1,
+            fuse_1x1=FUSE_1X1, **qkw,
         )
         qprestaged = qbundle.module.clone(stem_prestaged=True)
         dummy_xs = s2d_stem_stage(
@@ -1457,7 +1498,7 @@ def main():
         res["device_pipeline_clips_per_sec_int8"] = round(
             BATCH * iters / (time.perf_counter() - t0), 2
         )
-        res["int8_policy"] = "mixed"
+        res["int8_policy"] = policy
 
     # Default sections since round 4 (VERDICT r3 #3: all five BASELINE
     # configs in the one JSON line).  Estimated costs are conservative

@@ -521,6 +521,22 @@ def main(argv=None) -> int:
             import jax
 
             platforms = [jax.default_backend()]
+        # Match the production member-forward graph exactly
+        # (ensemble.members.member_probabilities): I3D-family artifacts
+        # share the s2d stem staging across members (1.2× the 4-member
+        # stem on v5e), and on-device Farnebäck serves with the SAME
+        # flow schedule the members trained with — an artifact exported
+        # without these is a slower program than the jit path it
+        # replaces (round-5 bench: 4 unshared stem stagings cost ~35%
+        # of serving throughput).
+        from ..flow.farneback import flow_schedule_params
+
+        flow_params = (
+            flow_schedule_params(config.flow_schedule)
+            if bundle.two_stream
+            and config.optical_flow_status != "TVL1_precomputed"
+            else None
+        )
         blob = export_ensemble(
             bundle,
             variables,
@@ -530,6 +546,8 @@ def main(argv=None) -> int:
             platforms=platforms,
             mesh=mesh,
             bake_params=not args.no_bake_params,
+            share_stem_staging=config.model_type in ("I3D", "TWOSTREAM_I3D"),
+            flow_params=flow_params,
         )
         meta = {
             "model_type": config.model_type,

@@ -33,15 +33,20 @@ import jax.numpy as jnp
 
 from .common import weight_qparams
 
-# The MIXED int8/bf16 block policy for the I3D family (VERDICT r4 item 4):
-# int8 only at the sites where XLA issues int8 MXU contractions that beat
-# bf16 — the three stem convs (large spatial extents) and the four
-# largest-channel inception blocks (480-832 input channels).  The early
-# Mixed_3b/3c/4b-4e blocks are dominated by small-channel branch convs
-# whose quantize/dequantize passes cost more HBM traffic than the int8
-# contraction saves (round-4 measurement: whole-model static int8 = only
-# 1.15x bf16 on the member forward).  Per-site A/B:
-# `python tools/perf_probe_quant.py --ab` (results in NEXT.md).
+# A MIXED int8/bf16 block policy for the I3D family (VERDICT r4 item 4):
+# int8 only at the three stem convs (large spatial extents) and the
+# largest-channel inception blocks (480-832 input channels).
+#
+# MEASURED VERDICT (round-5 per-site A/B, `perf_probe_quant --ab`, v5e
+# B=96, full table in NEXT.md): whole-model static int8 (quant_blocks
+# =None) is the FASTEST policy — 94.46 ms/member vs 101.33 mixed vs
+# 109.63 bf16.  Per-site marginals are non-additive: most single sites
+# LOSE in isolation (Mixed_4b/4c/4e +3.7..+5.6 ms each) because a lone
+# int8 island pays bf16↔int8 boundary conversions that XLA only fuses
+# away when its neighbours are quantized too.  So this policy is NOT a
+# throughput default (production and bench default to quantizing
+# everywhere); it remains available for ACCURACY-driven partial
+# quantization via --quant-blocks mixed.
 MIXED_INT8_POLICY: Tuple[str, ...] = (
     "Conv3d_1a_7x7",
     "Conv3d_2b_1x1",

@@ -77,6 +77,39 @@ def test_export_roundtrip_matches_member_forward(ensemble, tmp_path):
     )
 
 
+def test_export_share_stem_staging_matches_canonical(tmp_path):
+    """share_stem_staging=True export (the CLI default for I3D-family
+    since round 5 — matches member_probabilities' production graph, 1.2×
+    the M-member stem on v5e): the exported artifact's probabilities
+    match the canonical unshared member forward."""
+    from crowded_scenes_ensemble_classification_tpu.models import I3D
+
+    bundle = ModelBundle(
+        model_type="I3D",
+        module=I3D(num_classes=3),
+        clip=ClipSpec(frames=16, height=64, width=64),
+        num_classes=3,
+        two_stream=False,
+    )
+    variables = [bundle.init(jax.random.key(i)) for i in range(2)]
+    example = serving_batch_example(bundle, batch_size=2)
+    rng = np.random.default_rng(5)
+    batch = {"rgb": rng.integers(0, 255, example["rgb"].shape).astype(np.uint8)}
+
+    blob = export_ensemble(
+        bundle, variables, example, input_scale=1 / 255.0,
+        platforms=("cpu",), share_stem_staging=True,
+    )
+    serve, _ = load_serving_artifact(
+        save_serving_artifact(str(tmp_path / "shared.zip"), blob, {})
+    )
+    out = serve(batch)
+
+    fwd = make_member_forward(bundle, (64, 64), input_scale=1 / 255.0)
+    want = np.asarray(fwd(stack_variables(variables), batch))
+    np.testing.assert_allclose(np.asarray(out["probs"]), want, atol=2e-5)
+
+
 def test_export_custom_fusion_weights(ensemble, tmp_path):
     bundle, variables = ensemble
     example = serving_batch_example(bundle, batch_size=2)
