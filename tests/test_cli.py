@@ -328,7 +328,29 @@ def test_probs_long_video_cli(tmp_path, capsys):
     np.testing.assert_allclose(d["probs"].sum(-1), 1.0, atol=1e-4)
 
 
-def test_probs_quant_cli(tmp_path, capsys):
+def _tiny_c3d_builds(monkeypatch):
+    """The quant CLI tests exercise PLUMBING — cache-path qualification,
+    calibration-before-window-scan ordering, checkpoint restore — not
+    int8 numerics (gated in tests/test_quant.py).  A full-width C3D
+    lowered as int8 on XLA CPU compiles for tens of minutes (observed
+    round 5: >40 min for the vmapped member forward), so the
+    orchestration builds width-0.125 C3Ds here.  Returns the patched
+    builder for the test's own checkpoint init (widths must match)."""
+    from crowded_scenes_ensemble_classification_tpu import orchestration
+    from crowded_scenes_ensemble_classification_tpu.models.registry import (
+        build_model as real_build,
+    )
+
+    def tiny(model_type, num_classes=11, **kw):
+        if model_type == "C3D":
+            kw.setdefault("width", 0.125)
+        return real_build(model_type, num_classes, **kw)
+
+    monkeypatch.setattr(orchestration, "build_model", tiny)
+    return tiny
+
+
+def test_probs_quant_cli(tmp_path, capsys, monkeypatch):
     """`probs --quant` runs int8 member inference (models.common.
     quant_conv_general) from the same checkpoints and caches at its own
     `…_int8` npz path — a bf16/f32 cache is never silently returned for
@@ -338,12 +360,12 @@ def test_probs_quant_cli(tmp_path, capsys):
     from crowded_scenes_ensemble_classification_tpu.core.config import (
         ExperimentConfig,
     )
-    from crowded_scenes_ensemble_classification_tpu.models import build_model
     from crowded_scenes_ensemble_classification_tpu.orchestration import WorkLayout
     from crowded_scenes_ensemble_classification_tpu.train.checkpoints import (
         save_best,
     )
 
+    build_model = _tiny_c3d_builds(monkeypatch)
     work = str(tmp_path / "work")
     cfg = ExperimentConfig(model_type="C3D", folds_number=3, num_classes=3,
                            batch_size=2)
@@ -374,7 +396,9 @@ def test_probs_quant_cli(tmp_path, capsys):
     ])
     assert rc == 0
     out = capsys.readouterr().out.strip()
-    assert out.endswith("_int8.npz") and os.path.exists(out)
+    # variant sits before the _probabilities suffix
+    # (probability_store.probability_cache_path convention)
+    assert out.endswith("_int8_probabilities.npz") and os.path.exists(out)
 
     from crowded_scenes_ensemble_classification_tpu.ensemble.probability_store import (
         load_probabilities,
@@ -462,7 +486,7 @@ def test_mesh_data_flag_builds_mesh_and_threads_through(tmp_path, monkeypatch):
     assert captured["mesh"] is None
 
 
-def test_probs_quant_static_long_video_cli(tmp_path, capsys):
+def test_probs_quant_static_long_video_cli(tmp_path, capsys, monkeypatch):
     """`probs --quant static --long-video` calibrates BEFORE the
     window-scan: a 'static' bundle applied with uncalibrated variables
     has an empty 'qstats' collection and crashes (regression: the
@@ -472,12 +496,12 @@ def test_probs_quant_static_long_video_cli(tmp_path, capsys):
     from crowded_scenes_ensemble_classification_tpu.core.config import (
         ExperimentConfig,
     )
-    from crowded_scenes_ensemble_classification_tpu.models import build_model
     from crowded_scenes_ensemble_classification_tpu.orchestration import WorkLayout
     from crowded_scenes_ensemble_classification_tpu.train.checkpoints import (
         save_best,
     )
 
+    build_model = _tiny_c3d_builds(monkeypatch)
     work = str(tmp_path / "work")
     cfg = ExperimentConfig(model_type="C3D", folds_number=3, num_classes=3,
                            batch_size=2)
@@ -531,7 +555,8 @@ def test_probs_quant_static_long_video_cli(tmp_path, capsys):
     ])
     assert rc == 0
     out2 = capsys.readouterr().out.strip()
-    assert out2.endswith("_int8static.npz") and os.path.exists(out2)
+    assert out2.endswith("_int8static_probabilities.npz")
+    assert os.path.exists(out2)
     d2 = load_probabilities(out2)
     assert d2["probs"].shape == (2, 4, 3)
 

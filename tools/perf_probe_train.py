@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--remat-blocks", default=None,
                     help="also time the full step with SELECTIVE remat of "
                          "these comma-separated Mixed_* blocks (I3D family)")
+    ap.add_argument("--full-only", action="store_true",
+                    help="skip the graph-subtraction decomposition stages; "
+                         "time only the full step (+ any remat variants) — "
+                         "for batch/remat A/Bs where the decomposition is "
+                         "already known")
     args = ap.parse_args()
 
     import jax
@@ -191,17 +196,20 @@ def main():
             bundle, tx, hw, augment=True, input_scale=1.0, flow_params=fp
         )
         r_full = timed_steps(full, fresh_state(), rc, b, "full step")
-        no_aug = make_resident_train_step(
-            bundle, tx, hw, augment=False, input_scale=1.0, flow_params=fp
-        )
-        r_na = timed_steps(no_aug, fresh_state(), rc, b, "no-augment step")
-        r_fwd = timed_steps(
-            make_fwd_loss_step(True), fresh_state(), rc, b, "fwd+loss (infer-mode)"
-        )
-        r_fwdt = timed_steps(
-            make_fwd_loss_step(True, train_mode=True), fresh_state(), rc, b,
-            "fwd+loss (train-mode)",
-        )
+        r_na = r_fwd = r_fwdt = None
+        if not args.full_only:
+            no_aug = make_resident_train_step(
+                bundle, tx, hw, augment=False, input_scale=1.0, flow_params=fp
+            )
+            r_na = timed_steps(no_aug, fresh_state(), rc, b, "no-augment step")
+            r_fwd = timed_steps(
+                make_fwd_loss_step(True), fresh_state(), rc, b,
+                "fwd+loss (infer-mode)",
+            )
+            r_fwdt = timed_steps(
+                make_fwd_loss_step(True, train_mode=True), fresh_state(), rc, b,
+                "fwd+loss (train-mode)",
+            )
         if args.remat and "I3D" in mt:
             rbundle = build_model(
                 mt, num_classes=11, dtype=jnp.bfloat16, remat=True
